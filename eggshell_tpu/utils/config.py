@@ -1,0 +1,101 @@
+"""Simulation configuration.
+
+The reference scatters its tuning constants across compile-time
+``constexpr``s (eggshell/constants.h:5-13, eggshell/ensembles.cc:14-21,
+eggshell/sparse_iterations.cc:15-19, eggshell/contact.cc:11).  Here they
+live in one frozen dataclass that is hashable (usable as a static jit
+argument) and JSON-serialisable for the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Tuple
+
+
+class FrictionModel(enum.IntEnum):
+    """Contact friction models (ref: eggshell/contact.h:21-26).
+
+    COULOMB_PYRAMID is declared but unimplemented in the reference
+    (eggshell/contact.cc:150-152); we implement it as a box-friction bound
+    scaled by the normal impulse estimate, but default to BOX for parity.
+    """
+
+    NO_FRICTION = 0
+    INFINITE = 1
+    BOX = 2
+
+
+class SolverKind(enum.IntEnum):
+    """Contact/LCP solver for the velocity step.
+
+    PGS/JACOBI/SOR mirror the reference's projected splitting iterations
+    (eggshell/sparse_iterations.cc:90-144).  The direct pivot solver
+    (Murty, eggshell/lcp.cc:157-274) lives in `ops.lcp_direct` and
+    `oracle` for reference-accuracy checks.
+    """
+
+    PGS = 0      # projected Gauss-Seidel (scan over rows)
+    JACOBI = 1   # projected Jacobi (fully parallel sweep)
+    SOR = 2      # backward projected SOR, omega=1.5 (ref sparse_iterations.cc:15)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation parameters.
+
+    Defaults reproduce the reference's operating point:
+      dt                ref eggshell/constants.h:6   (kSimTimeStep = 1e-3)
+      gravity           ref eggshell/constants.h:8   ((0, 0, -9.8))
+      erp               ref eggshell/ensembles.cc:563 (error_reduction_param=0.2)
+      cfm               ref eggshell/ensembles.cc:14 (kCfmCoeff = 0.01); the
+                        reference applies it only when cond(JMJt) > 1e7
+                        (ensembles.cc:514-519).  `conditional_cfm=True`
+                        reproduces that; False applies `cfm_always` every step
+                        (the TPU fast path — documented deviation, validated
+                        by trajectory-parity tests).
+      friction bound    ref eggshell/contact.cc:11 (kBoxFrictionBound = 1)
+      solver iters      ref eggshell/sparse_iterations.cc:19 (500)
+      solver_tol        ref eggshell/constants.h:5 (1e-9)
+      sor_omega         ref eggshell/sparse_iterations.cc:15 (1.5)
+    """
+
+    dt: float = 1e-3
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.8)
+    erp: float = 0.2
+    cfm: float = 0.01
+    conditional_cfm: bool = True
+    cfm_always: float = 0.0
+    friction_model: FrictionModel = FrictionModel.BOX
+    friction_bound: float = 1.0
+    solver: SolverKind = SolverKind.PGS
+    solver_iters: int = 100
+    solver_tol: float = 1e-9
+    sor_omega: float = 1.5
+    # Condition-number threshold above which CFM is applied
+    # (ref eggshell/constants.h:12, kGoodConditionNumber).
+    good_condition_number: float = 1e7
+    # Constraints closer than this are deduplicated to avoid a singular J
+    # (ref eggshell/ensembles.cc:15, kMinConstraintDistance).
+    min_constraint_distance: float = 1e-6
+    # Contact capacity: max live contacts per scene (masked lanes).
+    contact_capacity: int = 64
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["friction_model"] = int(self.friction_model)
+        d["solver"] = int(self.solver)
+        return json.dumps(d)
+
+    @staticmethod
+    def from_json(s: str) -> "SimConfig":
+        d = json.loads(s)
+        d["friction_model"] = FrictionModel(d["friction_model"])
+        d["solver"] = SolverKind(d["solver"])
+        d["gravity"] = tuple(d["gravity"])
+        return SimConfig(**d)
