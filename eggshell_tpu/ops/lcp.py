@@ -1,0 +1,165 @@
+"""Projected splitting iterations for mixed LCPs, batched for TPU.
+
+TPU-native re-design of the reference's iterative contact solvers
+(eggshell/sparse_iterations.cc, sparse_iterations_utils.cc):
+
+Problem:  A x = b + w  with per-row semantics
+  - equality rows (is_eq):      w_i = 0, x_i free
+  - inequality rows (~is_eq):   lo_i <= x_i <= hi_i with complementarity
+                                (x_i = lo_i => w_i >= 0, x_i = hi_i => w_i <= 0,
+                                 interior => w_i = 0)
+
+Three splittings, mirroring the reference's formulas:
+  - Jacobi        M = D                (ref sparse_iterations.cc:91-95)
+  - Gauss-Seidel  M = L + D            (ref :97-100)
+  - backward SOR  M = U + D/omega      (ref :102-108, omega = 1.5)
+
+each with per-element projection onto [lo, hi] applied *during* the
+triangular solve (ref sparse_iterations_utils.cc:12-21 ApplyProjection,
+:110-128 MatrixSolveLowerTriangle).
+
+Design notes (TPU):
+  - One QP is small (tens to a few hundred rows); thousands of independent
+    QPs run per step.  All functions are written for a single QP and
+    `vmap` over the scenario batch — the sequential sweep over rows is
+    then amortised: each row update is a (batch,)-wide VPU op.
+  - `iters` is static; convergence checking is optional (costs a residual
+    per sweep) and off on the hot path — the reference's budget of 500
+    sweeps with early exit (ref :130) becomes a fixed sweep count chosen
+    per scene.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def project(x, is_eq, lo, hi):
+    """Clamp inequality rows to [lo, hi]; equality rows pass through.
+
+    Ref: eggshell/sparse_iterations_utils.cc:12-21 (ApplyProjection)."""
+    return jnp.where(is_eq, x, jnp.clip(x, lo, hi))
+
+
+def residual_error(A, b, x, is_eq, lo, hi):
+    """Complementarity-aware residual (ref sparse_iterations.cc:35-49).
+
+    equality rows:   |w|
+    inequality rows: |w| except one-sided violations at the bounds
+      (x = lo with w < 0, x = hi with w > 0, or interior with any w).
+    Returns the 2-norm-style scalar the reference uses (sum of the two
+    group norms).
+    """
+    w = A @ x - b
+    eq_err = jnp.linalg.norm(jnp.where(is_eq, w, 0.0))
+    at_lo = (~is_eq) & (x <= lo) & (w < 0)
+    at_hi = (~is_eq) & (x >= hi) & (w > 0)
+    interior = (~is_eq) & (x > lo) & (x < hi)
+    ineq = jnp.where(at_lo | at_hi | interior, w, 0.0)
+    return eq_err + jnp.linalg.norm(ineq)
+
+
+def _gs_sweep(A, b, x, is_eq, lo, hi):
+    """One projected Gauss-Seidel sweep via scan over rows.
+
+    Each row update uses the freshest x: x_i <- proj((b_i - A[i,:]x + A_ii
+    x_i)/A_ii).  Under vmap the per-row dot is a batched mat-vec row."""
+    n = b.shape[0]
+    diag = jnp.diagonal(A)
+
+    def row(x, i):
+        r = b[i] - A[i] @ x + diag[i] * x[i]
+        xi = project(r / diag[i], is_eq[i], lo[i], hi[i])
+        return x.at[i].set(xi), None
+
+    x, _ = jax.lax.scan(row, x, jnp.arange(n))
+    return x
+
+
+def _sor_sweep(A, b, x, is_eq, lo, hi, omega):
+    """One backward projected SOR sweep (ref sparse_iterations.cc:102-108):
+    M = U + D/omega, N = -(L_strict + D(1 - 1/omega)); rows are solved last
+    to first."""
+    n = b.shape[0]
+    diag = jnp.diagonal(A)
+    k = 1.0 / omega
+
+    def row(x, i):
+        i = n - 1 - i
+        # rhs_i = b_i - (L_strict x)_i - ((1-k) D x)_i ; M row: U_strict + kD
+        r = b[i] - A[i] @ x + diag[i] * x[i] - (1.0 - k) * diag[i] * x[i]
+        xi = project(r / (k * diag[i]), is_eq[i], lo[i], hi[i])
+        return x.at[i].set(xi), None
+
+    x, _ = jax.lax.scan(row, x, jnp.arange(n))
+    return x
+
+
+def _jacobi_sweep(A, b, x, is_eq, lo, hi):
+    """One projected Jacobi sweep — fully parallel (ref :91-95)."""
+    diag = jnp.diagonal(A)
+    r = b - A @ x + diag * x
+    return project(r / diag, is_eq, lo, hi)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "method", "check_tol", "omega")
+)
+def solve_lcp(
+    A: jax.Array,
+    b: jax.Array,
+    is_eq: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    iters: int = 100,
+    method: str = "pgs",
+    check_tol: Optional[float] = None,
+    omega: float = 1.5,
+    x0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Iteratively solve the mixed LCP A x = b + w.
+
+    method in {"pgs", "jacobi", "sor"}.  x0 defaults to b, the reference's
+    warm start (ref sparse_iterations.cc:124).  With check_tol set, sweeps
+    stop early once the complementarity residual drops below it (costs one
+    residual evaluation per sweep, ref :128-140); with None, runs exactly
+    `iters` sweeps (the TPU hot path — no data-dependent exit).
+    """
+    x = b if x0 is None else x0
+    x = project(x, is_eq, lo, hi)
+
+    if method == "pgs":
+        sweep = lambda xx: _gs_sweep(A, b, xx, is_eq, lo, hi)
+    elif method == "jacobi":
+        sweep = lambda xx: _jacobi_sweep(A, b, xx, is_eq, lo, hi)
+    elif method == "sor":
+        sweep = lambda xx: _sor_sweep(A, b, xx, is_eq, lo, hi, omega)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    if check_tol is None:
+        return jax.lax.fori_loop(0, iters, lambda _, xx: sweep(xx), x)
+
+    def cond(carry):
+        i, xx, err = carry
+        return (i < iters) & (err > check_tol)
+
+    def body(carry):
+        i, xx, _ = carry
+        xx = sweep(xx)
+        return i + 1, xx, residual_error(A, b, xx, is_eq, lo, hi)
+
+    _, x, _ = jax.lax.while_loop(
+        cond, body, (0, x, residual_error(A, b, x, is_eq, lo, hi))
+    )
+    return x
+
+
+def solve_lcp_batched(A, b, is_eq, lo, hi, **kw):
+    """vmap over a leading scenario-batch axis."""
+    fn = lambda A_, b_, e_, l_, h_: solve_lcp(A_, b_, e_, l_, h_, **kw)
+    return jax.vmap(fn)(A, b, is_eq, lo, hi)

@@ -21,6 +21,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient axon (tunneled-TPU) integration overrides JAX_PLATFORMS, so
+# force the platform through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

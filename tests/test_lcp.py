@@ -1,0 +1,167 @@
+"""Batch solver certification — mirrors eggshell/lcp.cc:348-528 and
+sparse_iterations.cc tests: random SPD box-LCPs, solutions verified
+against KKT/complementarity conditions and against each other.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eggshell_tpu.oracle import lcp_oracle
+from eggshell_tpu.ops import lcp, lcp_direct
+
+NUM_TESTS = 30      # ref runs 100 x 50x50; trimmed for CI speed
+SIZE = 50
+
+
+def gen_spd(rng, n, cond_limit=1e7):
+    """Random SPD matrix with bounded condition number
+    (ref eggshell/utils.cc:203-215 GenerateSPDMatrix)."""
+    while True:
+        m = rng.uniform(-1, 1, (n, n))
+        A = m.T @ m
+        s = np.linalg.svd(A, compute_uv=False)
+        if s[0] / s[-1] < cond_limit:
+            return A
+
+
+@pytest.fixture(scope="module")
+def problems():
+    rng = np.random.default_rng(0)
+    out = []
+    for _ in range(NUM_TESTS):
+        A = gen_spd(rng, SIZE)
+        b = rng.uniform(-1, 1, SIZE)
+        out.append((A, b))
+    return out
+
+
+def test_oracle_murty_no_bounds(problems):
+    """x in [0, inf) — ref lcp.cc:412-436 (100% must satisfy KKT)."""
+    lo = np.zeros(SIZE)
+    hi = np.full(SIZE, np.inf)
+    is_eq = np.zeros(SIZE, dtype=bool)
+    for A, b in problems:
+        x, w, ok = lcp_oracle.murty_principal_pivot(A, b, lo, hi)
+        assert ok
+        assert lcp_oracle.check_lcp_solution(A, b, x, w, is_eq, lo, hi, 1e-8)
+
+
+def test_oracle_murty_with_bounds(problems):
+    """x in [lo, hi] — ref lcp.cc:438-465."""
+    rng = np.random.default_rng(1)
+    is_eq = np.zeros(SIZE, dtype=bool)
+    for A, b in problems:
+        lo = np.full(SIZE, -rng.uniform(0, 2))
+        hi = np.full(SIZE, rng.uniform(0.01, 2))
+        x, w, ok = lcp_oracle.murty_principal_pivot(A, b, lo, hi)
+        assert ok
+        assert lcp_oracle.check_lcp_solution(A, b, x, w, is_eq, lo, hi, 1e-8)
+
+
+def test_oracle_mixed_solver(problems):
+    """Random equality/inequality splits — ref lcp.cc:467-528."""
+    rng = np.random.default_rng(2)
+    for A, b in problems[:15]:
+        is_eq = rng.uniform(size=SIZE) < 0.5
+        lo = np.full(SIZE, -10.0)
+        hi = np.full(SIZE, 10.0)
+        x, w, ok = lcp_oracle.mixed_constraints_solver(A, b, is_eq, lo, hi)
+        assert ok
+        assert lcp_oracle.check_lcp_solution(A, b, x, w, is_eq, lo, hi, 1e-7)
+
+
+def test_jax_murty_matches_oracle(problems):
+    lo = jnp.zeros(SIZE)
+    hi = jnp.full(SIZE, jnp.inf)
+    for A, b in problems[:10]:
+        xo, wo, _ = lcp_oracle.murty_principal_pivot(A, b)
+        x, w, ok = lcp_direct.murty_principal_pivot(
+            jnp.asarray(A), jnp.asarray(b), lo, hi
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), xo, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(w), wo, atol=1e-7)
+
+
+def test_jax_mixed_matches_oracle(problems):
+    rng = np.random.default_rng(3)
+    for A, b in problems[:8]:
+        is_eq = rng.uniform(size=SIZE) < 0.4
+        lo = np.full(SIZE, -5.0)
+        hi = np.full(SIZE, 5.0)
+        xo, wo, oko = lcp_oracle.mixed_constraints_solver(A, b, is_eq, lo, hi)
+        x, w, ok = lcp_direct.mixed_constraints_solver(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(is_eq),
+            jnp.asarray(lo), jnp.asarray(hi),
+        )
+        assert bool(ok) == oko
+        np.testing.assert_allclose(np.asarray(x), xo, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["pgs", "jacobi", "sor"])
+def test_iterative_solvers_equality_only(problems, method):
+    """Pure linear solve parity (ref sparse_iterations.cc:230-267 dense
+    paths, all-equality C)."""
+    # Diagonally dominant for guaranteed Jacobi convergence
+    rng = np.random.default_rng(4)
+    n = 24
+    A = rng.uniform(-1, 1, (n, n))
+    A = A @ A.T + n * np.eye(n)
+    b = rng.uniform(-1, 1, n)
+    is_eq = jnp.ones(n, dtype=bool)
+    x = lcp.solve_lcp(
+        jnp.asarray(A), jnp.asarray(b), is_eq, jnp.zeros(n), jnp.zeros(n),
+        iters=500, method=method, check_tol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["pgs", "sor"])
+def test_iterative_lcp_matches_direct(problems, method):
+    """Projected iterations converge to the pivot solver's solution on
+    well-conditioned SPD box LCPs (ref sparse_iterations.cc:515-748
+    cross-checks dense vs matrix-free on the same systems)."""
+    rng = np.random.default_rng(5)
+    n = 30
+    for trial in range(8):
+        m = rng.uniform(-1, 1, (n, n))
+        A = m @ m.T + 0.5 * n * np.eye(n)
+        b = rng.uniform(-1, 1, n)
+        is_eq = rng.uniform(size=n) < 0.5
+        lo = np.where(is_eq, 0.0, -1.0)
+        hi = np.where(is_eq, 0.0, 1.0)
+        xo, wo, ok = lcp_oracle.mixed_constraints_solver(A, b, is_eq, lo, hi)
+        assert ok
+        x = lcp.solve_lcp(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(is_eq),
+            jnp.asarray(lo), jnp.asarray(hi),
+            iters=3000, method=method, check_tol=1e-11,
+        )
+        np.testing.assert_allclose(np.asarray(x), xo, atol=1e-6)
+
+
+def test_residual_error_zero_at_solution(problems):
+    A, b = problems[0]
+    lo = np.zeros(SIZE)
+    hi = np.full(SIZE, np.inf)
+    x, w, _ = lcp_oracle.murty_principal_pivot(A, b, lo, hi)
+    err = lcp.residual_error(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(x),
+        jnp.zeros(SIZE, dtype=bool), jnp.asarray(lo), jnp.asarray(hi),
+    )
+    assert float(err) < 1e-7
+
+
+def test_batched_solve(problems):
+    B = 8
+    A = jnp.stack([jnp.asarray(problems[i][0]) for i in range(B)])
+    b = jnp.stack([jnp.asarray(problems[i][1]) for i in range(B)])
+    is_eq = jnp.zeros((B, SIZE), dtype=bool)
+    lo = jnp.zeros((B, SIZE))
+    hi = jnp.full((B, SIZE), jnp.inf)
+    xs = lcp.solve_lcp_batched(A, b, is_eq, lo, hi, iters=2000, method="pgs")
+    for i in range(B):
+        xo, _, _ = lcp_oracle.murty_principal_pivot(problems[i][0], problems[i][1])
+        np.testing.assert_allclose(np.asarray(xs[i]), xo, atol=1e-5)
