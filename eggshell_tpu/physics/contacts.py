@@ -1,0 +1,166 @@
+"""Scene-level contact assembly: narrowphase fan-out, capacity selection,
+and constraint deduplication — all fixed-shape.
+
+Replaces the reference's ``UpdateContacts`` (eggshell/ensembles.cc:445-480,
+dynamically sized contact vector) and ``CheckAndCorrectEnsembleState``
+(:241-329, constraint dedupe) with masked-lane equivalents:
+
+- every body runs the 8-corner ground test (8 candidate lanes each);
+- every candidate pair runs the SAT narrowphase (MAX_CONTACTS_PER_PAIR
+  lanes each);
+- active candidates are compacted *in original order* (ground contacts
+  first, then pairs — the reference's ordering) into a fixed-capacity
+  `ContactSet` via a stable argsort;
+- contacts closer than `min_constraint_distance` to an earlier same-pair
+  constraint (joint or contact) are dropped, mirroring the reference's
+  delete-the-later-one rule.  Constraints involving the ground/anchor
+  (index -1) are never deduped — the reference's pairwise check loops
+  only over real body pairs (ensembles.cc:264-314).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eggshell_tpu.ops import collision
+from eggshell_tpu.ops import quaternion as quat
+from eggshell_tpu.physics.scene import SceneSpec, State
+from eggshell_tpu.utils.config import SimConfig
+
+
+class ContactSet(NamedTuple):
+    """K fixed contact lanes.  b0 = -1 encodes the ground (the reference
+    builds ground contacts as Constraint(nullptr, -1, body, i),
+    eggshell/contact.h:13-15, so the *body* is slot 1)."""
+
+    b0: jax.Array        # (K,) int32
+    b1: jax.Array        # (K,) int32
+    position: jax.Array  # (K, 3)
+    normal: jax.Array    # (K, 3)
+    depth: jax.Array     # (K,)
+    active: jax.Array    # (K,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.b0.shape[-1]
+
+
+def _candidates(spec: SceneSpec, state: State):
+    """All candidate contacts in reference order: ground (per body, 8
+    corner lanes) then box-box pairs (MAX_CONTACTS_PER_PAIR lanes)."""
+    n = spec.num_bodies
+    R = state.R()
+
+    gpos, gnrm, gdep, gact = jax.vmap(collision.collide_box_and_ground)(
+        state.p, R, spec.half_extents
+    )
+    gact = gact & spec.ground_enabled[:, None]
+    g_b0 = jnp.full((n, collision.GROUND_CONTACTS), -1, jnp.int32)
+    g_b1 = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, collision.GROUND_CONTACTS)
+    )
+
+    P = spec.num_pairs
+    if P > 0:
+        pi, pj = spec.pair_i, spec.pair_j
+        out = jax.vmap(collision.collide_boxes)(
+            state.p[pi], R[pi], spec.half_extents[pi],
+            state.p[pj], R[pj], spec.half_extents[pj],
+        )
+        C = collision.MAX_CONTACTS_PER_PAIR
+        p_b0 = jnp.broadcast_to(pi[:, None], (P, C))
+        p_b1 = jnp.broadcast_to(pj[:, None], (P, C))
+        b0 = jnp.concatenate([g_b0.reshape(-1), p_b0.reshape(-1)])
+        b1 = jnp.concatenate([g_b1.reshape(-1), p_b1.reshape(-1)])
+        pos = jnp.concatenate([gpos.reshape(-1, 3), out.position.reshape(-1, 3)])
+        nrm = jnp.concatenate([gnrm.reshape(-1, 3), out.normal.reshape(-1, 3)])
+        dep = jnp.concatenate([gdep.reshape(-1), out.depth.reshape(-1)])
+        act = jnp.concatenate([gact.reshape(-1), out.active.reshape(-1)])
+    else:
+        b0, b1 = g_b0.reshape(-1), g_b1.reshape(-1)
+        pos, nrm = gpos.reshape(-1, 3), gnrm.reshape(-1, 3)
+        dep, act = gdep.reshape(-1), gact.reshape(-1)
+    return b0, b1, pos, nrm, dep, act
+
+
+def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig) -> ContactSet:
+    """Detect, compact, and dedupe contacts into `cfg.contact_capacity`
+    masked lanes."""
+    K = cfg.contact_capacity
+    b0, b1, pos, nrm, dep, act = _candidates(spec, state)
+
+    # Stable compaction: active candidates first, original order preserved.
+    order = jnp.argsort(~act, stable=True)[:K]
+    cs = ContactSet(
+        b0=b0[order], b1=b1[order], position=pos[order],
+        normal=nrm[order], depth=dep[order], active=act[order],
+    )
+    return _dedupe(spec, state, cs, cfg)
+
+
+def _dedupe(spec: SceneSpec, state: State, cs: ContactSet, cfg: SimConfig):
+    """Drop contact k when an earlier same-body-pair constraint (any joint,
+    or a contact with lower lane index) sits closer than
+    `min_constraint_distance` (ref ensembles.cc:289-314, 376-388)."""
+    eps2 = cfg.min_constraint_distance**2
+
+    # Normalised body pair per contact; ground pairs (-1) excluded.
+    lo_b = jnp.minimum(cs.b0, cs.b1)
+    hi_b = jnp.maximum(cs.b0, cs.b1)
+    body_pair_ok = lo_b >= 0
+
+    # Contact-contact: same pair, close, earlier index.
+    d2 = jnp.sum(
+        (cs.position[:, None, :] - cs.position[None, :, :]) ** 2, axis=-1
+    )
+    same_pair = (lo_b[:, None] == lo_b[None, :]) & (hi_b[:, None] == hi_b[None, :])
+    both_ok = body_pair_ok[:, None] & body_pair_ok[None, :]
+    both_act = cs.active[:, None] & cs.active[None, :]
+    earlier = jnp.arange(cs.capacity)[None, :] < jnp.arange(cs.capacity)[:, None]
+    drop_cc = jnp.any(
+        same_pair & both_ok & both_act & earlier & (d2 < eps2), axis=1
+    )
+
+    # Joint-contact: a joint between the same body pair, close => drop the
+    # contact (ref :291-300).
+    J = spec.num_joints
+    if J > 0:
+        R = state.R()
+        a0 = state.p[spec.joint_b0] + jnp.einsum(
+            "jik,jk->ji", R[spec.joint_b0], spec.joint_c0
+        )
+        anchored = spec.joint_b1 < 0
+        jb1 = jnp.where(anchored, 0, spec.joint_b1)
+        a1 = jnp.where(
+            anchored[:, None],
+            spec.joint_c1,
+            state.p[jb1] + jnp.einsum("jik,jk->ji", R[jb1], spec.joint_c1),
+        )
+        jpos = jnp.where(anchored[:, None], a0, 0.5 * (a0 + a1))
+        j_lo = jnp.minimum(spec.joint_b0, spec.joint_b1)
+        j_hi = jnp.maximum(spec.joint_b0, spec.joint_b1)
+        j_ok = j_lo >= 0
+        jd2 = jnp.sum((cs.position[:, None, :] - jpos[None, :, :]) ** 2, -1)
+        j_same = (lo_b[:, None] == j_lo[None, :]) & (hi_b[:, None] == j_hi[None, :])
+        drop_jc = jnp.any(
+            j_same & j_ok[None, :] & body_pair_ok[:, None] & (jd2 < eps2),
+            axis=1,
+        ) & cs.active
+        drop = drop_cc | drop_jc
+    else:
+        drop = drop_cc
+
+    return cs._replace(active=cs.active & ~drop)
+
+
+def contact_frames(cs: ContactSet) -> jax.Array:
+    """Rotation matrices mapping global vectors into the contact frame
+    (z = contact normal): R = AlignVectors(normal, z)
+    (ref eggshell/contact.cc:50-51).  (K, 3, 3)."""
+    z = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], cs.normal.dtype), cs.normal.shape
+    )
+    return quat.align_vectors_mat(cs.normal, z)

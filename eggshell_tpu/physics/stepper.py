@@ -1,0 +1,306 @@
+"""Constraint-based time steppers — the ODE-style velocity stepper.
+
+TPU-native re-design of the reference's integrators
+(eggshell/ensembles.cc:390-666):
+
+  step_ode             ERP/CFM velocity stepping + mixed LCP + midpoint
+                       position update (ref StepVelocities_ODE :563-575,
+                       StepPositions_ODE :577-591)
+  step_explicit_euler  equality-only path (ref :540-561); unlike the
+                       reference — whose JDotV for joints is a Panic stub
+                       (ensembles.cc:96-97) — the JdotV term is actually
+                       implemented here (ref joints.cc:37-47 formulas)
+  init_stabilize       position relaxation to the constraint manifold
+                       (ref :602-622)
+  post_stabilize       position+velocity relaxation (ref :624-657); this
+                       build refreshes contact geometry every iteration
+                       (the reference reuses the stale contact set)
+
+All functions take one scene; batch with `jax.vmap`, roll out with
+`jax.lax.scan`, distribute with `shard_map` (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eggshell_tpu.ops import lcp, lcp_direct
+from eggshell_tpu.ops import quaternion as quat
+from eggshell_tpu.physics import scene as scn
+from eggshell_tpu.physics.constraints import ConstraintSystem, build_constraints
+from eggshell_tpu.physics.contacts import ContactSet, make_contacts
+from eggshell_tpu.physics.scene import SceneSpec, State
+from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+
+# ---------------------------------------------------------------------------
+# System matrix
+
+
+def _flat_J(sys: ConstraintSystem) -> jax.Array:
+    m = sys.num_rows
+    return sys.J.reshape(m, -1)
+
+
+def system_matrix(
+    spec: SceneSpec, state: State, sys: ConstraintSystem, cfg: SimConfig
+) -> jax.Array:
+    """A = J M^-1 J^T with CFM and masked-lane unit diagonal.
+
+    Inactive rows have zero J, so they decouple; their diagonal is set to
+    the max active diagonal, which keeps cond(A) equal to the active
+    block's condition number (max diag <= max eig and >= min eig for PSD).
+
+    CFM policy (ref ensembles.cc:510-521): with `conditional_cfm`, add
+    cfg.cfm * I on active rows only when the estimated condition number
+    exceeds cfg.good_condition_number; otherwise add cfg.cfm_always
+    unconditionally (TPU fast path).
+    """
+    Minv = scn.inv_mass_blocks(spec, state)
+    JM = jnp.einsum("mnk,nkl->mnl", sys.J, Minv)
+    A = jnp.einsum("mnl,onl->mo", JM, sys.J)
+
+    diag_scale = jnp.max(
+        jnp.where(sys.row_active, jnp.diagonal(A), 0.0)
+    )
+    diag_scale = jnp.where(diag_scale > 0, diag_scale, 1.0)
+    A = A + jnp.diag(jnp.where(sys.row_active, 0.0, diag_scale))
+
+    if cfg.conditional_cfm:
+        eigs = jnp.linalg.eigvalsh(A)
+        bad = (eigs[0] <= 0) | (
+            eigs[-1] / jnp.maximum(eigs[0], 1e-300)
+            > cfg.good_condition_number
+        )
+        cfm = jnp.where(bad, cfg.cfm, 0.0)
+    else:
+        cfm = jnp.asarray(cfg.cfm_always, A.dtype)
+    return A + jnp.diag(jnp.where(sys.row_active, cfm, 0.0))
+
+
+def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
+    if cfg.solver == SolverKind.DIRECT:
+        lam, _, _ = lcp_direct.mixed_constraints_solver(
+            A, rhs, sys.is_eq, sys.lo, sys.hi
+        )
+        return lam
+    method = {
+        SolverKind.PGS: "pgs",
+        SolverKind.JACOBI: "jacobi",
+        SolverKind.SOR: "sor",
+    }[cfg.solver]
+    check_tol = cfg.solver_tol if cfg.solver_tol > 0 else None
+    return lcp.solve_lcp(
+        A, rhs, sys.is_eq, sys.lo, sys.hi,
+        iters=cfg.solver_iters, method=method, check_tol=check_tol,
+        omega=cfg.sor_omega,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ODE-style step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_ode(
+    spec: SceneSpec, state: State, cfg: SimConfig
+) -> Tuple[State, ContactSet]:
+    """One OPEN_DYNAMICS_ENGINE step (ref Ensemble::Step, ensembles.cc:390-427
+    with g = OPEN_DYNAMICS_ENGINE).  Returns (new_state, contact_set)."""
+    dt = cfg.dt
+    cs = make_contacts(spec, state, cfg)
+    sys = build_constraints(spec, state, cs, cfg)
+
+    u = scn.pack_velocity(state)                 # (n, 6)
+    Minv = scn.inv_mass_blocks(spec, state)
+    F = scn.external_forces(spec, state, cfg.gravity)
+    MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+
+    # rhs = -erp/dt^2 err - J (v/dt + Minv F)   (ref :563-571)
+    rhs = -cfg.erp / dt / dt * sys.err - jnp.einsum(
+        "mnk,nk->m", sys.J, u / dt + MinvF
+    )
+    A = system_matrix(spec, state, sys, cfg)
+    lam = _solve_lambda(A, rhs, sys, cfg)
+
+    # v_dot = Minv (F + J^T lambda)   (ref :498-538)
+    JTlam = jnp.einsum("mnk,m->nk", sys.J, lam)
+    vdot = jnp.einsum("nij,nj->ni", Minv, F + JTlam)
+    u_new = u + dt * vdot
+
+    # Midpoint position update; R <- Q(w_mid dt) R  (ref :577-591)
+    u_mid = 0.5 * (u + u_new)
+    p_new = state.p + dt * u_mid[:, :3]
+    q_new = quat.integrate_quat(state.q, u_mid[:, 3:], dt)
+    new_state = State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
+    return new_state, cs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_explicit_euler(spec: SceneSpec, state: State, cfg: SimConfig) -> State:
+    """Equality-only explicit Euler (ref :540-561): joints only; contacts
+    are not supported by this integrator (ref :397-400 CHECKs)."""
+    dt = cfg.dt
+    # Empty contact set: all lanes inactive.
+    K = cfg.contact_capacity
+    dtype = state.p.dtype
+    cs = ContactSet(
+        b0=jnp.full((K,), -1, jnp.int32), b1=jnp.full((K,), -1, jnp.int32),
+        position=jnp.zeros((K, 3), dtype), normal=jnp.zeros((K, 3), dtype),
+        depth=jnp.zeros((K,), dtype), active=jnp.zeros((K,), bool),
+    )
+    sys = build_constraints(spec, state, cs, cfg)
+    u = scn.pack_velocity(state)
+    Minv = scn.inv_mass_blocks(spec, state)
+    F = scn.external_forces(spec, state, cfg.gravity)
+    MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+
+    jdotv = jnp.concatenate(
+        [_joint_jdotv(spec, state), jnp.zeros((3 * K,), dtype)]
+    )
+    rhs = -jnp.einsum("mnk,nk->m", sys.J, MinvF) - jdotv
+    A = system_matrix(spec, state, sys, cfg)
+    lam = jnp.linalg.solve(A, rhs)               # equality-only LDLT analog
+    JTlam = jnp.einsum("mnk,m->nk", sys.J, lam)
+    vdot = jnp.einsum("nij,nj->ni", Minv, F + JTlam)
+    u_new = u + dt * vdot
+
+    p_new = state.p + dt * u[:, :3]              # old velocity (ref :553-560)
+    q_new = quat.integrate_quat(state.q, u[:, 3:], dt)
+    return State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
+
+
+def _joint_jdotv(spec: SceneSpec, state: State) -> jax.Array:
+    """JdotV for ball joints (formula of ref joints.cc:37-47):
+    Jdot_b0 = [0, -cross(w0 x (R0 c0))], Jdot_b1 = [0, cross(w1 x (R1 c1))].
+    Padded with zeros for the (empty) contact rows."""
+    Jn = spec.num_joints
+    dtype = state.p.dtype
+    if Jn == 0:
+        joints_part = jnp.zeros((0,), dtype)
+    else:
+        R = state.R()
+        r0c0 = jnp.einsum("jik,jk->ji", R[spec.joint_b0], spec.joint_c0)
+        jb1 = jnp.where(spec.joint_b1 >= 0, spec.joint_b1, 0)
+        r1c1 = jnp.einsum("jik,jk->ji", R[jb1], spec.joint_c1)
+        w0 = state.w[spec.joint_b0]
+        w1 = jnp.where(
+            (spec.joint_b1 >= 0)[:, None], state.w[jb1], 0.0
+        )
+        # Jdot_w0 @ w0 = -(w0 x r0) x w0 = +w0 x (w0 x r0); b1 negated.
+        term0 = jnp.cross(w0, jnp.cross(w0, r0c0))
+        term1 = jnp.where(
+            (spec.joint_b1 >= 0)[:, None],
+            -jnp.cross(w1, jnp.cross(w1, r1c1)),
+            0.0,
+        )
+        joints_part = (term0 + term1).reshape(-1)
+    return joints_part
+
+
+# ---------------------------------------------------------------------------
+# Stabilization
+
+
+def position_constraint_error(
+    spec: SceneSpec, state: State, cfg: SimConfig, cs: Optional[ContactSet] = None
+) -> jax.Array:
+    """Stacked joint + contact position errors (ref ensembles.cc:156-171)."""
+    if cs is None:
+        cs = make_contacts(spec, state, cfg)
+    sys = build_constraints(spec, state, cs, cfg)
+    return sys.err
+
+
+def _velocity_relaxation(
+    spec: SceneSpec, state: State, sys: ConstraintSystem, scale
+) -> jax.Array:
+    """vc = -scale J^T (J J^T)^-1 err (ref :659-666), with a tiny Tikhonov
+    term since redundant contacts make J J^T singular (the reference feeds
+    the singular matrix to LDLT).  Returns (n, 6)."""
+    Jf = _flat_J(sys)
+    m = sys.num_rows
+    JJt = Jf @ Jf.T
+    JJt = JJt + jnp.diag(
+        jnp.where(sys.row_active, 1e-10, 1.0).astype(Jf.dtype)
+    )
+    lam = jnp.linalg.solve(JJt, sys.err)
+    vc = (-scale * (Jf.T @ lam)).reshape(spec.num_bodies, 6)
+    # Static bodies must not be relaxed (no reference analog: the
+    # reference has no infinite-mass bodies).
+    return jnp.where((spec.inv_mass > 0)[:, None], vc, 0.0)
+
+
+def _advance_positions(state: State, vc: jax.Array, dt) -> State:
+    """StepPositions_ExplicitEuler with a velocity-correction field
+    (ref :553-560, 647-650)."""
+    return state._replace(
+        p=state.p + dt * vc[:, :3],
+        q=quat.integrate_quat(state.q, vc[:, 3:], dt),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def init_stabilize(
+    spec: SceneSpec, state: State, cfg: SimConfig, max_steps: int = 100
+) -> State:
+    """Pre-run position relaxation (ref InitStabilize, ensembles.cc:602-622):
+    up to `max_steps` relaxation steps with dt = 500 dt_sim, scale 0.2,
+    re-detecting contacts each iteration, until err^2 <= 1e-9."""
+    tol = 1e-9
+
+    def err2_of(st):
+        e = position_constraint_error(spec, st, cfg)
+        return e @ e
+
+    def cond(carry):
+        st, e2, i = carry
+        return (e2 > tol) & (i < max_steps)
+
+    def body(carry):
+        st, _, i = carry
+        cs = make_contacts(spec, st, cfg)
+        sys = build_constraints(spec, st, cs, cfg)
+        vc = _velocity_relaxation(spec, st, sys, 0.2)
+        st = _advance_positions(st, vc, cfg.dt * 500)
+        return st, err2_of(st), i + 1
+
+    state, _, _ = jax.lax.while_loop(cond, body, (state, err2_of(state), 0))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def post_stabilize(
+    spec: SceneSpec, state: State, cfg: SimConfig, max_steps: int = 500
+) -> State:
+    """Post-step stabilization (ref PostStabilize, ensembles.cc:624-657):
+    velocity relaxation applied to both positions (dt = 100 dt_sim) and
+    velocities, scale 0.2, until err^2 <= 1e-9.  Deviation from the
+    reference: contact geometry is refreshed each iteration instead of
+    reusing the pre-step contact set."""
+    tol = 1e-9
+
+    def err2_of(st):
+        e = position_constraint_error(spec, st, cfg)
+        return e @ e
+
+    def cond(carry):
+        st, e2, i = carry
+        return (e2 > tol) & (i < max_steps)
+
+    def body(carry):
+        st, _, i = carry
+        cs = make_contacts(spec, st, cfg)
+        sys = build_constraints(spec, st, cs, cfg)
+        vc = _velocity_relaxation(spec, st, sys, 0.2)
+        st = _advance_positions(st, vc, cfg.dt * 100)
+        u = scn.pack_velocity(st) + vc
+        st = scn.unpack_velocity(st, u)
+        return st, err2_of(st), i + 1
+
+    state, _, _ = jax.lax.while_loop(cond, body, (state, err2_of(state), 0))
+    return state

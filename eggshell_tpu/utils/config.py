@@ -40,6 +40,7 @@ class SolverKind(enum.IntEnum):
     PGS = 0      # projected Gauss-Seidel (scan over rows)
     JACOBI = 1   # projected Jacobi (fully parallel sweep)
     SOR = 2      # backward projected SOR, omega=1.5 (ref sparse_iterations.cc:15)
+    DIRECT = 3   # Murty pivot + Schur mixed solver (ref lcp.cc:157-336)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,7 +73,11 @@ class SimConfig:
     friction_bound: float = 1.0
     solver: SolverKind = SolverKind.PGS
     solver_iters: int = 100
-    solver_tol: float = 1e-9
+    # solver_tol > 0 enables the reference's early-exit convergence check
+    # (a lax.while_loop — NOT reverse-mode differentiable and worse for
+    # TPU pipelining).  The default 0.0 runs exactly `solver_iters` fixed
+    # sweeps: differentiable end-to-end and the TPU hot path.
+    solver_tol: float = 0.0
     sor_omega: float = 1.5
     # Condition-number threshold above which CFM is applied
     # (ref eggshell/constants.h:12, kGoodConditionNumber).
