@@ -1,0 +1,98 @@
+"""Device-mesh scaling: shard scenario batches over chips/hosts.
+
+The new first-class distribution component (SURVEY.md §2.9) — the
+reference's only concurrency is a worker-thread ParallelFor
+(toolkit/thread.cc:20-60).  Here:
+
+  - a 1-D (or ('dcn','ici')) `jax.sharding.Mesh` over all devices;
+  - `shard_map`-ed batched rollouts: each device steps its local shard
+    of scenarios (zero cross-device traffic in the rollout itself);
+  - `psum` reductions over the mesh for MPC costs/residuals — these are
+    the only collectives, and they ride ICI within a slice.
+
+Multi-host: call `jax.distributed.initialize()` per host before building
+the mesh; each host feeds its local shard (host-local arrays with a
+global sharding via `jax.make_array_from_process_local_data`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from eggshell_tpu.physics.scene import SceneSpec, State
+from eggshell_tpu.physics.stepper import step_ode
+from eggshell_tpu.utils.config import SimConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
+    """1-D mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, states: State, axis: str = "batch") -> State:
+    """Place a batched State so its leading axis is sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), states
+    )
+
+
+def sharded_rollout(
+    spec: SceneSpec,
+    states: State,
+    cfg: SimConfig,
+    num_steps: int,
+    mesh: Mesh,
+    axis: str = "batch",
+) -> State:
+    """Roll out a sharded scenario batch: vmap within each device,
+    shard_map across the mesh.  Scenarios are independent, so the body
+    contains no collectives; XLA keeps every shard resident."""
+
+    def local(spec_rep, states_shard):
+        def one(st):
+            def body(s, _):
+                s2, _ = step_ode(spec_rep, s, cfg)
+                return s2, None
+
+            final, _ = jax.lax.scan(body, st, None, length=num_steps)
+            return final
+
+        return jax.vmap(one)(states_shard)
+
+    spec_specs = jax.tree_util.tree_map(lambda _: P(), spec)
+    state_specs = jax.tree_util.tree_map(lambda _: P(axis), states)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_specs, state_specs),
+        out_specs=state_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)(spec, states)
+
+
+def sharded_mean_cost(
+    cost_per_scenario: jax.Array, mesh: Mesh, axis: str = "batch"
+) -> jax.Array:
+    """Global mean of a sharded per-scenario cost via psum over ICI."""
+
+    def local(c):
+        s = jnp.sum(c)
+        n = jnp.asarray(c.shape[0], c.dtype)
+        return jax.lax.psum(s, axis) / jax.lax.psum(n, axis)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(), check_rep=False
+    )
+    return jax.jit(fn)(cost_per_scenario)

@@ -97,7 +97,7 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
     return lcp.solve_lcp(
         A, rhs, sys.is_eq, sys.lo, sys.hi,
         iters=cfg.solver_iters, method=method, check_tol=check_tol,
-        omega=cfg.sor_omega,
+        omega=cfg.sor_omega, jacobi_omega=cfg.jacobi_omega,
     )
 
 
@@ -107,10 +107,17 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step_ode(
-    spec: SceneSpec, state: State, cfg: SimConfig
+    spec: SceneSpec,
+    state: State,
+    cfg: SimConfig,
+    ext_force: Optional[jax.Array] = None,
 ) -> Tuple[State, ContactSet]:
     """One OPEN_DYNAMICS_ENGINE step (ref Ensemble::Step, ensembles.cc:390-427
-    with g = OPEN_DYNAMICS_ENGINE).  Returns (new_state, contact_set)."""
+    with g = OPEN_DYNAMICS_ENGINE).  Returns (new_state, contact_set).
+
+    `ext_force` (n, 6) adds control wrenches [force; torque] per body on
+    top of gravity + gyroscopic terms — the MPC control input (a new
+    capability; the reference has no actuation)."""
     dt = cfg.dt
     cs = make_contacts(spec, state, cfg)
     sys = build_constraints(spec, state, cs, cfg)
@@ -118,6 +125,8 @@ def step_ode(
     u = scn.pack_velocity(state)                 # (n, 6)
     Minv = scn.inv_mass_blocks(spec, state)
     F = scn.external_forces(spec, state, cfg.gravity)
+    if ext_force is not None:
+        F = F + ext_force
     MinvF = jnp.einsum("nij,nj->ni", Minv, F)
 
     # rhs = -erp/dt^2 err - J (v/dt + Minv F)   (ref :563-571)

@@ -79,6 +79,9 @@ class SimConfig:
     # sweeps: differentiable end-to-end and the TPU hot path.
     solver_tol: float = 0.0
     sor_omega: float = 1.5
+    # Under-relaxation for the JACOBI solver (the parallel TPU sweep);
+    # <= ~0.3 is stable on redundant contact systems.
+    jacobi_omega: float = 0.3
     # Condition-number threshold above which CFM is applied
     # (ref eggshell/constants.h:12, kGoodConditionNumber).
     good_condition_number: float = 1e7
