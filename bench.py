@@ -15,17 +15,24 @@ import json
 import time
 
 import jax
+
+try:  # some shells carry JAX_PLATFORMS=axon without the plugin registered
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "")
+    jax.devices()
+
 import jax.numpy as jnp
 
 
 def main():
     from eggshell_tpu.physics import scenes
-    from eggshell_tpu.physics.stepper import step_ode
+    from eggshell_tpu.physics.stepper import step_ode  # noqa: F401
     from eggshell_tpu.utils.config import SimConfig, SolverKind
 
     dtype = jnp.float32
     cfg = SimConfig(
-        solver=SolverKind.JACOBI,
+        solver=SolverKind.JACOBI_KERNEL,
         solver_iters=60,
         solver_tol=0.0,
         jacobi_omega=0.3,
@@ -45,17 +52,11 @@ def main():
         + (jnp.linspace(0, 1e-3, B)[:, None, None]).astype(dtype)
     )
 
+    from eggshell_tpu.parallel.rollout import rollout_batched
+
     @jax.jit
     def run(states):
-        def one(st):
-            def body(s, _):
-                s2, _ = step_ode(spec, s, cfg)
-                return s2, None
-
-            final, _ = jax.lax.scan(body, st, None, length=H)
-            return final
-
-        return jax.vmap(one)(states)
+        return rollout_batched(spec, states, cfg, H)
 
     # Warmup/compile
     out = run(states)

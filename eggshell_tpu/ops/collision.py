@@ -95,12 +95,14 @@ def _clip_halfspace(poly, count, normal, d):
     offs = jnp.cumsum(contrib) - contrib  # exclusive prefix sum
     new_count = jnp.sum(contrib).astype(jnp.int32)
 
-    out = jnp.zeros_like(poly)
-    # scatter vertices (inside) at offs, crossing points after them
-    vert_slot = jnp.where(inside, offs, MAX_POLY)
-    cross_slot = jnp.where(crosses, offs + inside.astype(jnp.int32), MAX_POLY)
-    out = out.at[vert_slot].set(p1, mode="drop")
-    out = out.at[cross_slot].set(cross_pt.astype(dtype), mode="drop")
+    # Emit via one-hot selection matrices instead of scatters (scatters
+    # are catastrophically slow on TPU; this is two small matmuls).
+    slots = jnp.arange(MAX_POLY)
+    sel_vert = (offs[None, :] == slots[:, None]) & inside[None, :]
+    sel_cross = (
+        (offs + inside.astype(jnp.int32))[None, :] == slots[:, None]
+    ) & crosses[None, :]
+    out = sel_vert.astype(dtype) @ p1 + sel_cross.astype(dtype) @ cross_pt.astype(dtype)
     return out, new_count
 
 
@@ -151,11 +153,12 @@ def _intersect_box_and_rectangle(Ac, AR, Ah, Rc, RR, Rh):
             axes.append(-j * Bn)
             ds.append(Bd)
             crosses.append(cr)
-    (poly, count), _ = jax.lax.scan(
-        clip_one,
-        (poly, count),
-        (jnp.stack(axes), jnp.stack(ds), jnp.stack(crosses)),
-    )
+    # Unrolled (6 static halfspaces): lets XLA fuse the whole clip chain
+    # into one elementwise program instead of a scan with carried state.
+    carry = (poly, count)
+    for k in range(6):
+        carry, _ = clip_one(carry, (axes[k], ds[k], crosses[k]))
+    poly, count = carry
     return poly, count
 
 

@@ -1,0 +1,431 @@
+"""Pallas TPU narrowphase: SAT box-box collision, batch-on-lanes.
+
+The XLA narrowphase (ops/collision.py) vmaps over pairs, which leaves the
+size-3/9/12 geometry dims minor-most — every VPU op runs at ~3/128 lane
+utilisation and the whole narrowphase costs ~27ms/step at 24k pairs.
+This kernel transposes the problem: each grid step processes a tile of
+8x128 = 1024 pairs laid out on the (sublane, lane) dims, and every
+scalar of the SAT/clip pipeline is an (8, 128) tile — full VPU
+occupancy, geometry/component loops statically unrolled.
+
+Semantics are identical to `collision.collide_boxes` (same 15-axis SAT,
+contact codes, fixed-capacity Sutherland-Hodgman clip with one-hot
+emission, deep-penetration fallback); the test suite cross-checks the
+two paths lane-for-lane.
+
+Layout: inputs packed as (ntiles, C, 8, 128) where C = 3 (vectors) or
+9 (row-major rotation matrices); outputs unpacked back to the
+`PairContacts` struct of the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eggshell_tpu.ops.collision import (
+    ALIGNMENT_TOLERANCE,
+    MAX_POLY,
+    PairContacts,
+    TOL,
+)
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+_BIG = 1e30
+
+
+def _sign(x):
+    return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _narrowphase_kernel(
+    p1_ref, r1_ref, h1_ref, p2_ref, r2_ref, h2_ref,
+    pos_ref, nrm_ref, dep_ref, act_ref, code_ref, idep_ref, iax_ref,
+):
+    f = lambda ref, c: ref[c]
+    p1 = [f(p1_ref, c) for c in range(3)]
+    p2 = [f(p2_ref, c) for c in range(3)]
+    H1 = [f(h1_ref, c) for c in range(3)]
+    H2 = [f(h2_ref, c) for c in range(3)]
+    # R[r][c] row-major
+    R1 = [[f(r1_ref, 3 * r + c) for c in range(3)] for r in range(3)]
+    R2 = [[f(r2_ref, 3 * r + c) for c in range(3)] for r in range(3)]
+    dtype = p1[0].dtype
+
+    # ---- box2 in box1 frame: R = R1^T R2, p = R1^T (p2 - p1) ----
+    R = [[sum(R1[k][i] * R2[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    d = [p2[c] - p1[c] for c in range(3)]
+    p = [sum(R1[k][i] * d[k] for k in range(3)) for i in range(3)]
+    Q = [[jnp.abs(R[i][j]) for j in range(3)] for i in range(3)]
+
+    # nearly-axis-aligned column count (ref collision.cc:200-203)
+    aacount = sum(
+        jnp.where(
+            jnp.maximum(jnp.maximum(Q[0][i], Q[1][i]), Q[2][i])
+            > ALIGNMENT_TOLERANCE, 1, 0,
+        )
+        for i in range(3)
+    )
+
+    # ---- 6 face-normal axes ----
+    zero = jnp.zeros_like(p1[0])
+    sepFN = jnp.full_like(p1[0], -_BIG)
+    codeFN = jnp.zeros_like(p1[0], dtype=jnp.int32)
+    axFN = [zero, zero, zero]
+    any_sep_face = jnp.zeros_like(p1[0], dtype=bool)
+
+    def face_axis(i):
+        if i < 3:
+            e1 = p[i]
+            r = H1[i] + sum(H2[j] * Q[i][j] for j in range(3))
+            normal = [R1[c][i] for c in range(3)]
+        else:
+            i2 = i - 3
+            e1 = sum(R[j][i2] * p[j] for j in range(3))
+            r = sum(H1[j] * Q[j][i2] for j in range(3)) + H2[i2]
+            normal = [R2[c][i2] for c in range(3)]
+        sep = jnp.abs(e1) - r
+        return sep, [_sign(e1) * nc for nc in normal]
+
+    for i in range(6):
+        sep, normal = face_axis(i)
+        any_sep_face = any_sep_face | (sep > 0)
+        upd = sep > sepFN
+        sepFN = jnp.where(upd, sep, sepFN)
+        codeFN = jnp.where(upd, i + 1, codeFN)
+        axFN = [jnp.where(upd, normal[c], axFN[c]) for c in range(3)]
+
+    # ---- 9 edge x edge axes ----
+    sepEE = jnp.full_like(p1[0], -_BIG)
+    codeEE = jnp.zeros_like(codeFN)
+    nEE = [zero, zero, zero]
+    e1EE = zero
+    lenEE = jnp.ones_like(p1[0])
+    any_sep_ee = jnp.zeros_like(any_sep_face)
+
+    for a in range(3):
+        for b in range(3):
+            v = [R[0][b], R[1][b], R[2][b]]
+            if a == 0:
+                n = [zero, -v[2], v[1]]
+            elif a == 1:
+                n = [v[2], zero, -v[0]]
+            else:
+                n = [-v[1], v[0], zero]
+            length2 = _dot3(n, n)
+            length = jnp.sqrt(length2)
+            valid = length > TOL
+            e1 = _dot3(n, p)
+            span1 = sum(H1[c] * jnp.abs(n[c]) for c in range(3))
+            span2 = (
+                H2[(b + 1) % 3] * Q[a][(b + 2) % 3]
+                + H2[(b + 2) % 3] * Q[a][(b + 1) % 3]
+            )
+            sep_raw = jnp.abs(e1) - (span1 + span2)
+            any_sep_ee = any_sep_ee | (valid & (sep_raw > 0))
+            safe_len = jnp.where(valid, length, 1.0)
+            sep = jnp.where(valid, sep_raw / safe_len, -_BIG)
+            upd = sep > sepEE
+            sepEE = jnp.where(upd, sep, sepEE)
+            codeEE = jnp.where(upd, 7 + 3 * a + b, codeEE)
+            nEE = [jnp.where(upd, n[c], nEE[c]) for c in range(3)]
+            e1EE = jnp.where(upd, e1, e1EE)
+            lenEE = jnp.where(upd, safe_len, lenEE)
+
+    separated = any_sep_face | any_sep_ee
+
+    # sepaxis_EE in global frame
+    scl = 1.0 / (_sign(e1EE) * lenEE)
+    nloc = [nEE[c] * scl for c in range(3)]
+    axEE = [sum(R1[c][j] * nloc[j] for j in range(3)) for c in range(3)]
+
+    best_is_FN = sepFN > sepEE
+    info_depth = jnp.where(best_is_FN, -sepFN, -sepEE)
+    info_ax = [jnp.where(best_is_FN, axFN[c], axEE[c]) for c in range(3)]
+
+    # ================= edge-edge contact (ref :295-318) =================
+    sa1 = [sum(axEE[c] * R1[c][j] for c in range(3)) for j in range(3)]
+    sa2 = [sum(axEE[c] * R2[c][j] for c in range(3)) for j in range(3)]
+    pa = [p1[c] + sum(_sign(sa1[j]) * H1[j] * R1[c][j] for j in range(3))
+          for c in range(3)]
+    pb = [p2[c] - sum(_sign(sa2[j]) * H2[j] * R2[c][j] for j in range(3))
+          for c in range(3)]
+    a_idx = (codeEE - 7) // 3
+    b_idx = (codeEE - 7) % 3
+    ua = [sum(jnp.where(a_idx == i, R1[c][i], 0.0) for i in range(3))
+          for c in range(3)]
+    ub = [sum(jnp.where(b_idx == i, R2[c][i], 0.0) for i in range(3))
+          for c in range(3)]
+    pvec = [pb[c] - pa[c] for c in range(3)]
+    uaub = _dot3(ua, ub)
+    q1 = _dot3(ua, pvec)
+    q2 = -_dot3(ub, pvec)
+    dd = 1.0 - uaub * uaub
+    degen = dd == 0
+    safe_dd = jnp.where(degen, 1.0, dd)
+    alpha = jnp.where(degen, 0.0, (q1 + uaub * q2) / safe_dd)
+    beta = jnp.where(degen, 0.0, (uaub * q1 + q2) / safe_dd)
+    ee_pos = [(pa[c] + ua[c] * alpha + pb[c] + ub[c] * beta) * 0.5
+              for c in range(3)]
+    ee_depth = -sepEE
+
+    # ================= face-something contact (ref :320-372) ============
+    A1 = codeFN <= 3
+
+    def sel(c1, c2):
+        return jnp.where(A1, c1, c2)
+
+    Ac = [sel(p1[c], p2[c]) for c in range(3)]
+    AR = [[sel(R1[c][j], R2[c][j]) for j in range(3)] for c in range(3)]
+    Ah = [sel(H1[c], H2[c]) for c in range(3)]
+    Bc0 = [sel(p2[c], p1[c]) for c in range(3)]
+    BR0 = [[sel(R2[c][j], R1[c][j]) for j in range(3)] for c in range(3)]
+    Bh0 = [sel(H2[c], H1[c]) for c in range(3)]
+    Afn = [axFN[c] * jnp.where(A1, 1.0, -1.0) for c in range(3)]
+
+    # incident face (ref :334-337)
+    nf = [sum(BR0[c][i] * Afn[c] for c in range(3)) for i in range(3)]
+    anf = [jnp.abs(nf[i]) for i in range(3)]
+    nf_idx = jnp.where(
+        anf[2] > jnp.maximum(anf[0], anf[1]), 2,
+        jnp.where(anf[1] > anf[0], 1, 0),
+    )
+    oh = [(nf_idx == i) for i in range(3)]
+
+    def pick(vals, hot):
+        return sum(jnp.where(hot[i], vals[i], 0.0) for i in range(3))
+
+    nf_val = pick(nf, oh)
+    Bfn = [-_sign(nf_val) * pick(BR0[c], oh) for c in range(3)]
+    oh1 = [oh[(i + 2) % 3] for i in range(3)]     # perm1 == i
+    oh2 = [oh[(i + 1) % 3] for i in range(3)]     # perm2 == i
+    Bh_sel = pick(Bh0, oh)
+    Rc = [Bc0[c] + Bfn[c] * Bh_sel for c in range(3)]
+    RR0 = [pick(BR0[c], oh1) for c in range(3)]
+    RR1 = [pick(BR0[c], oh2) for c in range(3)]
+    RR2 = [pick(BR0[c], oh) for c in range(3)]
+    Rh0 = pick(Bh0, oh1)
+    Rh1 = pick(Bh0, oh2)
+
+    face_axis_i = (codeFN - 1) % 3
+    Ah_face = sum(jnp.where(face_axis_i == i, Ah[i], 0.0) for i in range(3))
+    AfC = [Ac[c] + Afn[c] * Ah_face for c in range(3)]
+    Ad = -_dot3(Afn, AfC)
+
+    # ---- clip rectangle polygon by the 6 halfspaces of box A ----
+    Bc_rel = [Ac[c] - Rc[c] for c in range(3)]
+    px = [zero] * MAX_POLY
+    py = [zero] * MAX_POLY
+    px[0], py[0] = -Rh0, -Rh1
+    px[1], py[1] = -Rh0, Rh1
+    px[2], py[2] = Rh0, Rh1
+    px[3], py[3] = Rh0, -Rh1
+    cnt = jnp.full_like(codeFN, 4)
+
+    for i_ax in range(3):
+        Bn = [AR[c][i_ax] for c in range(3)]
+        BnBc = _dot3(Bn, Bc_rel)
+        crossv = _cross3(Bn, RR2)
+        crossn = jnp.sqrt(_dot3(crossv, crossv))
+        Hn0 = _dot3(RR0, Bn)
+        Hn1 = _dot3(RR1, Bn)
+        for jside in (-1.0, 1.0):
+            Bd = -jside * BnBc - Ah[i_ax]
+            parallel = crossn < TOL
+            acceptp = parallel & (Bd <= 0)
+            rejectp = parallel & (Bd > 0)
+            nx, ny, dclip = -jside * Hn0, -jside * Hn1, -Bd
+
+            kv = [px[i] * nx + py[i] * ny + dclip for i in range(MAX_POLY)]
+            valid = [(i < cnt) for i in range(MAX_POLY)]
+            # next vertex: i+1, wrapping to 0 when i+1 == cnt (slot 11
+            # always wraps; valid only when cnt == 12)
+            def nxt(i, arr):
+                if i == MAX_POLY - 1:
+                    return arr[0]
+                return jnp.where(cnt == i + 1, arr[0], arr[i + 1])
+
+            k2 = [nxt(i, kv) for i in range(MAX_POLY)]
+            p2x = [nxt(i, px) for i in range(MAX_POLY)]
+            p2y = [nxt(i, py) for i in range(MAX_POLY)]
+            inside = [(kv[i] >= 0) & valid[i] for i in range(MAX_POLY)]
+            crosses = [(kv[i] * k2[i] < 0) & valid[i] for i in range(MAX_POLY)]
+            tden = [jnp.where(crosses[i], k2[i] - kv[i], 1.0)
+                    for i in range(MAX_POLY)]
+            tt = [kv[i] / tden[i] for i in range(MAX_POLY)]
+            cxp = [px[i] - tt[i] * (p2x[i] - px[i]) for i in range(MAX_POLY)]
+            cyp = [py[i] - tt[i] * (p2y[i] - py[i]) for i in range(MAX_POLY)]
+
+            contrib = [
+                jnp.where(inside[i], 1, 0) + jnp.where(crosses[i], 1, 0)
+                for i in range(MAX_POLY)
+            ]
+            offs = [jnp.zeros_like(cnt)]
+            for i in range(1, MAX_POLY):
+                offs.append(offs[i - 1] + contrib[i - 1])
+            newcnt = offs[-1] + contrib[-1]
+
+            npx = []
+            npy = []
+            for o in range(MAX_POLY):
+                accx = zero
+                accy = zero
+                for i in range(MAX_POLY):
+                    sv = (offs[i] == o) & inside[i]
+                    sc = ((offs[i] + jnp.where(inside[i], 1, 0)) == o) & crosses[i]
+                    accx = accx + jnp.where(sv, px[i], 0.0) + jnp.where(sc, cxp[i], 0.0)
+                    accy = accy + jnp.where(sv, py[i], 0.0) + jnp.where(sc, cyp[i], 0.0)
+                npx.append(accx)
+                npy.append(accy)
+
+            px = [jnp.where(parallel, px[i], npx[i]) for i in range(MAX_POLY)]
+            py = [jnp.where(parallel, py[i], npy[i]) for i in range(MAX_POLY)]
+            cnt = jnp.where(
+                rejectp, 0, jnp.where(acceptp | parallel, cnt, newcnt)
+            )
+
+    # face contacts from polygon points
+    fpos = []
+    fdep = []
+    keep = []
+    any_face = jnp.zeros_like(separated)
+    for i in range(MAX_POLY):
+        pos_i = [Rc[c] + RR0[c] * px[i] + RR1[c] * py[i] for c in range(3)]
+        dep_i = -(_dot3(Afn, pos_i) + Ad)
+        in_poly = i < cnt
+        k_i = in_poly & ((jnp.abs(dep_i) > TOL) | (aacount >= 2))
+        fpos.append(pos_i)
+        fdep.append(dep_i)
+        keep.append(k_i)
+        any_face = any_face | k_i
+
+    # ---- final per-lane selection ----
+    use_ee = (aacount == 0) & (~best_is_FN)
+    fb_depth = -sepFN
+    code = jnp.where(
+        separated, 0,
+        jnp.where(use_ee, codeEE, jnp.where(any_face, codeFN, 16)),
+    )
+    nrm = [jnp.where(use_ee, axEE[c], axFN[c]) for c in range(3)]
+
+    for i in range(MAX_POLY):
+        posi = [
+            jnp.where(use_ee, ee_pos[c],
+                      jnp.where(any_face, fpos[i][c], p2[c]))
+            for c in range(3)
+        ]
+        depi = jnp.where(use_ee, ee_depth,
+                         jnp.where(any_face, fdep[i], fb_depth))
+        # Compute the active flag in float arithmetic: boolean selects with
+        # constant operands lower through an i8->i1 truncation Mosaic
+        # rejects.
+        first_f = jnp.full_like(zero, 1.0 if i == 0 else 0.0)
+        keep_f = jnp.where(keep[i], 1.0, 0.0)
+        act_f = jnp.where(use_ee, first_f, jnp.where(any_face, keep_f, first_f))
+        act_f = act_f * jnp.where(separated, 0.0, 1.0)
+        for c in range(3):
+            pos_ref[3 * i + c] = posi[c]
+        dep_ref[i] = depi
+        act_ref[i] = act_f.astype(dtype)
+
+    for c in range(3):
+        nrm_ref[c] = nrm[c]
+        iax_ref[c] = info_ax[c]
+    code_ref[0] = code.astype(dtype)
+    idep_ref[0] = jnp.where(separated, 0.0, info_depth)
+
+
+def _pack(x, n_comp):
+    """(B, ...) -> (nt, n_comp, SUB, LANE), batch padded to TILE."""
+    B = x.shape[0]
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    flat = x.reshape(B, n_comp)
+    if Bp != B:
+        flat = jnp.pad(flat, ((0, Bp - B), (0, 0)), mode="edge")
+    nt = Bp // TILE
+    return (
+        flat.reshape(nt, SUB, LANE, n_comp).transpose(0, 3, 1, 2),
+        B, Bp, nt,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def collide_boxes_lanes(p1, R1, hs1, p2, R2, hs2, interpret: bool = False):
+    """Batched SAT narrowphase with batch-on-lanes layout.
+
+    Same results as vmap(collision.collide_boxes) (tested lane-for-lane);
+    inputs (B,3)/(B,3,3); returns a batched PairContacts."""
+    dtype = p1.dtype
+    p1t, B, Bp, nt = _pack(p1, 3)
+    p2t, _, _, _ = _pack(p2, 3)
+    h1t, _, _, _ = _pack(hs1, 3)
+    h2t, _, _, _ = _pack(hs2, 3)
+    r1t, _, _, _ = _pack(R1.reshape(-1, 9), 9)
+    r2t, _, _, _ = _pack(R2.reshape(-1, 9), 9)
+
+    def spec(c):
+        return pl.BlockSpec(
+            (None, c, SUB, LANE), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nt, 3 * MAX_POLY, SUB, LANE), dtype),  # pos
+        jax.ShapeDtypeStruct((nt, 3, SUB, LANE), dtype),             # nrm
+        jax.ShapeDtypeStruct((nt, MAX_POLY, SUB, LANE), dtype),      # dep
+        jax.ShapeDtypeStruct((nt, MAX_POLY, SUB, LANE), dtype),      # act
+        jax.ShapeDtypeStruct((nt, 1, SUB, LANE), dtype),             # code
+        jax.ShapeDtypeStruct((nt, 1, SUB, LANE), dtype),             # idep
+        jax.ShapeDtypeStruct((nt, 3, SUB, LANE), dtype),             # iax
+    )
+    pos, nrm, dep, act, code, idep, iax = pl.pallas_call(
+        _narrowphase_kernel,
+        grid=(nt,),
+        in_specs=[spec(3), spec(9), spec(3), spec(3), spec(9), spec(3)],
+        out_specs=(
+            spec(3 * MAX_POLY), spec(3), spec(MAX_POLY), spec(MAX_POLY),
+            spec(1), spec(1), spec(3),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(p1t, r1t, h1t, p2t, r2t, h2t)
+
+    def unpack(x, n_comp):
+        return (
+            x.transpose(0, 2, 3, 1).reshape(Bp, n_comp)[:B]
+        )
+
+    pos = unpack(pos, 3 * MAX_POLY).reshape(B, MAX_POLY, 3)
+    nrm_v = unpack(nrm, 3)
+    dep = unpack(dep, MAX_POLY)
+    act_v = unpack(act, MAX_POLY) > 0.5
+    code_v = unpack(code, 1)[:, 0].astype(jnp.int32)
+    idep = unpack(idep, 1)[:, 0]
+    iax = unpack(iax, 3)
+    return PairContacts(
+        position=pos,
+        normal=jnp.broadcast_to(nrm_v[:, None, :], (B, MAX_POLY, 3)),
+        depth=dep,
+        active=act_v,
+        code=code_v,
+        info_depth=idep,
+        separating_axis=iax,
+    )

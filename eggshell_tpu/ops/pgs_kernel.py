@@ -1,0 +1,153 @@
+"""Fused Pallas TPU kernel for batched projected-iteration LCP solves.
+
+The hot op of the north star (BASELINE.json): thousands of independent
+small contact QPs per step.  The XLA path (ops/lcp.py) dispatches one
+batched GEMV per sweep — at (B, m, m) sizes of (4096, ~100, ~100) that
+is dominated by per-op overhead, not bandwidth.  This kernel:
+
+- tiles the scenario batch B into blocks of `lanes` (default 128),
+  mapping the batch onto the TPU lane dimension (layout (m, m, lanes)
+  per tile, so every VPU op is fully lane-occupied);
+- loads each tile's system matrices into VMEM ONCE and runs ALL sweeps
+  in-kernel (the XLA path re-reads A from HBM every sweep);
+- performs the under-relaxed projected Jacobi sweep
+  x <- proj((1-w) x + w D^-1 (b - (A - D) x))  on the VPU, accumulating
+  A x in row blocks of 8 so no (m, m, lanes) temporary is materialised
+  (VMEM is the budget: the A tile is m*m*lanes*4 bytes, double-buffered).
+
+HBM traffic: A read once per step (vs `iters` times); pure VPU compute of
+~iters*m^2*2 FLOPs per scenario.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_BLOCK = 8  # f32 sublane granule
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_lanes(m: int) -> int:
+    """Largest lane tile whose double-buffered A fits the ~16MB scoped
+    VMEM budget (keep A under ~5MB)."""
+    for lanes in (128, 64, 32, 16, 8):
+        if m * m * lanes * 4 * 2 <= 10 * 1024 * 1024:
+            return lanes
+    return 8
+
+
+def _jacobi_kernel(A_ref, b_ref, diag_ref, eq_ref, lo_ref, hi_ref, x_ref,
+                   ax_ref, *, iters, omega):
+    # A (m, m, L); all vectors (m, L); ax_ref: (m, L) VMEM scratch
+    b = b_ref[:]
+    eq = eq_ref[:]
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    diag = diag_ref[:]
+    inv_diag = 1.0 / diag
+    m, L = b.shape
+    nb = m // _ROW_BLOCK
+
+    def proj(x):
+        return jnp.where(eq > 0, x, jnp.clip(x, lo, hi))
+
+    def sweep(_, x):
+        def row_block(ib, _c):
+            a_blk = A_ref[pl.ds(ib * _ROW_BLOCK, _ROW_BLOCK), :, :]
+            ax_ref[pl.ds(ib * _ROW_BLOCK, _ROW_BLOCK), :] = jnp.sum(
+                a_blk * x[None, :, :], axis=1
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nb, row_block, 0)
+        r = b - ax_ref[:] + diag * x
+        return proj((1.0 - omega) * x + omega * r * inv_diag)
+
+    x_ref[:] = jax.lax.fori_loop(0, iters, sweep, proj(b))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "omega", "interpret")
+)
+def solve_lcp_jacobi_pallas(
+    A: jax.Array,        # (B, m, m)
+    b: jax.Array,        # (B, m)
+    is_eq: jax.Array,    # (B, m) bool
+    lo: jax.Array,       # (B, m)
+    hi: jax.Array,       # (B, m)
+    iters: int = 60,
+    omega: float = 0.3,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched under-relaxed projected Jacobi, fused in one Pallas call.
+    Returns x (B, m).  B is padded to a lane multiple, m to 8."""
+    B, m = b.shape
+    dtype = A.dtype
+    mp = _round_up(m, _ROW_BLOCK)
+    lanes = _pick_lanes(mp)
+    Bp = _round_up(max(B, lanes), lanes)
+
+    # Pad: extra rows get unit diagonal / zero rhs (equality, lambda=0);
+    # extra batch lanes replicate the edge.
+    if mp != m:
+        A = jnp.pad(A, ((0, 0), (0, mp - m), (0, mp - m)))
+        A = A + jnp.pad(
+            jnp.zeros((m,), dtype), (0, mp - m), constant_values=1.0
+        ) * jnp.eye(mp, dtype=dtype)
+        b = jnp.pad(b, ((0, 0), (0, mp - m)))
+        is_eq = jnp.pad(is_eq, ((0, 0), (0, mp - m)), constant_values=True)
+        lo = jnp.pad(lo, ((0, 0), (0, mp - m)))
+        hi = jnp.pad(hi, ((0, 0), (0, mp - m)))
+    if Bp != B:
+        pad = ((0, Bp - B),) + ((0, 0),) * (A.ndim - 1)
+        A = jnp.pad(A, pad, mode="edge")
+        b = jnp.pad(b, ((0, Bp - B), (0, 0)), mode="edge")
+        is_eq = jnp.pad(is_eq, ((0, Bp - B), (0, 0)), mode="edge")
+        lo = jnp.pad(lo, ((0, Bp - B), (0, 0)), mode="edge")
+        hi = jnp.pad(hi, ((0, Bp - B), (0, 0)), mode="edge")
+
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)  # (Bp, mp)
+
+    # Lane-major layout: tiles of `lanes` scenarios on the lane axis.
+    nt = Bp // lanes
+    At = A.reshape(nt, lanes, mp, mp).transpose(0, 2, 3, 1)   # (nt,m,m,L)
+
+    def vec(v):
+        return v.reshape(nt, lanes, mp).transpose(0, 2, 1)    # (nt,m,L)
+
+    bt = vec(b)
+    dt_ = vec(diag)
+    eqt = vec(is_eq.astype(dtype))
+    lot = vec(lo)
+    hit = vec(jnp.where(jnp.isinf(hi), jnp.asarray(3.4e38, dtype), hi))
+
+    kernel = functools.partial(_jacobi_kernel, iters=iters, omega=omega)
+    vec_spec = pl.BlockSpec(
+        (None, mp, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    xt = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, mp, mp, lanes), lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=vec_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, mp, lanes), dtype),
+        scratch_shapes=[pltpu.VMEM((mp, lanes), dtype)],
+        interpret=interpret,
+    )(At, bt, dt_, eqt, lot, hit)
+
+    x = xt.transpose(0, 2, 1).reshape(Bp, mp)
+    return x[:B, :m]

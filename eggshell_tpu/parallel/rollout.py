@@ -53,11 +53,14 @@ def rollout_batched(
     cfg: SimConfig,
     num_steps: int,
 ) -> State:
-    """vmap the rollout over a leading scenario-batch axis of `states`
-    (one shared SceneSpec).  This is the per-chip unit the mesh shards."""
+    """Roll a scenario batch forward (one shared SceneSpec): scan over
+    time of the batched step.  This is the per-chip unit the mesh shards.
+    With SolverKind.JACOBI_KERNEL every step's QP batch is one fused
+    Pallas kernel call."""
+    from eggshell_tpu.physics.stepper import step_ode_batched
 
-    def one(st):
-        final, _ = rollout(spec, st, cfg, num_steps)
-        return final
+    def body(sts, _):
+        return step_ode_batched(spec, sts, cfg), None
 
-    return jax.vmap(one)(states)
+    final, _ = jax.lax.scan(body, states, None, length=num_steps)
+    return final

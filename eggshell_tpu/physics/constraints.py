@@ -37,13 +37,14 @@ class ConstraintSystem(NamedTuple):
         return self.J.shape[-3]
 
 
-def _scatter_blocks(J, rows, bodies, blocks, n):
-    """Add (c, 3, 6) blocks into J[(rows), body(c), :] with -1 bodies
-    dropped (negative indices must not wrap)."""
-    safe = jnp.where(bodies >= 0, bodies, n)
-    return J.at[rows[:, None] + jnp.arange(3)[None, :], safe[:, None]].add(
-        blocks, mode="drop"
-    )
+def _blocks_to_rows(bodies, blocks, n):
+    """Expand (c, 3, 6) constraint blocks into dense rows (3c, n, 6) via a
+    one-hot body matmul (scatters are slow on TPU; this is an einsum that
+    lands on the MXU).  -1 bodies contribute nothing."""
+    c = bodies.shape[0]
+    onehot = (bodies[:, None] == jnp.arange(n)[None, :]).astype(blocks.dtype)
+    out = jnp.einsum("cn,crk->crnk", onehot, blocks)
+    return out.reshape(3 * c, n, 6)
 
 
 def build_constraints(
@@ -52,11 +53,8 @@ def build_constraints(
     n = spec.num_bodies
     Jn = spec.num_joints
     K = cs.capacity
-    m = 3 * Jn + 3 * K
     dtype = state.p.dtype
     R = state.R()
-
-    J = jnp.zeros((m, n, 6), dtype)
     eye3 = jnp.eye(3, dtype=dtype)
 
     # ------------------------------------------------------------------ joints
@@ -73,9 +71,9 @@ def build_constraints(
         blk1 = jnp.concatenate(
             [jnp.broadcast_to(-eye3, (Jn, 3, 3)), quat.cross_mat(r1c1)], axis=-1
         )
-        jrows = 3 * jnp.arange(Jn)
-        J = _scatter_blocks(J, jrows, spec.joint_b0, blk0, n)
-        J = _scatter_blocks(J, jrows, spec.joint_b1, blk1, n)
+        J_joints = _blocks_to_rows(spec.joint_b0, blk0, n) + _blocks_to_rows(
+            spec.joint_b1, blk1, n
+        )
 
         # error = p0 + R0 c0 - (p1 + R1 c1)   [b1 = -1: - world anchor c1]
         # (ref joints.cc:3-11)
@@ -85,6 +83,7 @@ def build_constraints(
         )
         jerr = (state.p[spec.joint_b0] + r0c0 - tgt).reshape(-1)
     else:
+        J_joints = jnp.zeros((0, n, 6), dtype)
         jerr = jnp.zeros((0,), dtype)
 
     # ---------------------------------------------------------------- contacts
@@ -125,9 +124,10 @@ def build_constraints(
     mask3 = row_on[..., None]  # (K, 3, 1)
     blk0 = jnp.where(mask3 & b0ok[:, None, None], blk0, 0.0)
     blk1 = jnp.where(mask3 & b1ok[:, None, None], blk1, 0.0)
-    crows = 3 * Jn + 3 * jnp.arange(K)
-    J = _scatter_blocks(J, crows, jnp.where(cs.active, cs.b0, -1), blk0, n)
-    J = _scatter_blocks(J, crows, jnp.where(cs.active, cs.b1, -1), blk1, n)
+    J_contacts = _blocks_to_rows(
+        jnp.where(cs.active, cs.b0, -1), blk0, n
+    ) + _blocks_to_rows(jnp.where(cs.active, cs.b1, -1), blk1, n)
+    J = jnp.concatenate([J_joints, J_contacts], axis=0)
 
     # error = (0, 0, -depth) (ref contact.cc:14-22)
     cerr = jnp.stack(

@@ -48,9 +48,14 @@ class ContactSet(NamedTuple):
         return self.b0.shape[-1]
 
 
-def _candidates(spec: SceneSpec, state: State):
+def _candidates(spec: SceneSpec, state: State, cfg: SimConfig,
+                pair_out=None):
     """All candidate contacts in reference order: ground (per body, 8
-    corner lanes) then box-box pairs (MAX_CONTACTS_PER_PAIR lanes)."""
+    corner lanes) then box-box pairs (MAX_CONTACTS_PER_PAIR lanes).
+
+    With cfg.pair_capacity > 0 the pair list is first AABB-pruned and
+    compacted (broadphase) so the SAT narrowphase only runs on plausible
+    pairs."""
     n = spec.num_bodies
     R = state.R()
 
@@ -64,13 +69,35 @@ def _candidates(spec: SceneSpec, state: State):
     )
 
     P = spec.num_pairs
-    if P > 0:
+    pair_gate = None
+    if pair_out is not None:
         pi, pj = spec.pair_i, spec.pair_j
-        out = jax.vmap(collision.collide_boxes)(
-            state.p[pi], R[pi], spec.half_extents[pi],
-            state.p[pj], R[pj], spec.half_extents[pj],
+    elif P > 0 and 0 < cfg.pair_capacity < P:
+        from eggshell_tpu.ops import broadphase
+
+        mask = broadphase.pair_overlap_mask(
+            state.p, state.q, spec.half_extents,
+            spec.pair_i, spec.pair_j, cfg.broadphase_margin,
         )
+        pi, pj, pair_gate = broadphase.select_pairs(
+            mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
+        )
+        P = cfg.pair_capacity
+    else:
+        pi, pj = spec.pair_i, spec.pair_j
+
+    if P > 0:
+        if pair_out is not None:
+            out = pair_out
+        else:
+            out = jax.vmap(collision.collide_boxes)(
+                state.p[pi], R[pi], spec.half_extents[pi],
+                state.p[pj], R[pj], spec.half_extents[pj],
+            )
         C = collision.MAX_CONTACTS_PER_PAIR
+        pact = out.active
+        if pair_gate is not None:
+            pact = pact & pair_gate[:, None]
         p_b0 = jnp.broadcast_to(pi[:, None], (P, C))
         p_b1 = jnp.broadcast_to(pj[:, None], (P, C))
         b0 = jnp.concatenate([g_b0.reshape(-1), p_b0.reshape(-1)])
@@ -78,7 +105,7 @@ def _candidates(spec: SceneSpec, state: State):
         pos = jnp.concatenate([gpos.reshape(-1, 3), out.position.reshape(-1, 3)])
         nrm = jnp.concatenate([gnrm.reshape(-1, 3), out.normal.reshape(-1, 3)])
         dep = jnp.concatenate([gdep.reshape(-1), out.depth.reshape(-1)])
-        act = jnp.concatenate([gact.reshape(-1), out.active.reshape(-1)])
+        act = jnp.concatenate([gact.reshape(-1), pact.reshape(-1)])
     else:
         b0, b1 = g_b0.reshape(-1), g_b1.reshape(-1)
         pos, nrm = gpos.reshape(-1, 3), gnrm.reshape(-1, 3)
@@ -86,17 +113,29 @@ def _candidates(spec: SceneSpec, state: State):
     return b0, b1, pos, nrm, dep, act
 
 
-def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig) -> ContactSet:
+def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig,
+                  pair_out=None) -> ContactSet:
     """Detect, compact, and dedupe contacts into `cfg.contact_capacity`
-    masked lanes."""
+    masked lanes.  `pair_out` optionally injects precomputed pairwise
+    narrowphase results (the batched Pallas path)."""
     K = cfg.contact_capacity
-    b0, b1, pos, nrm, dep, act = _candidates(spec, state)
+    b0, b1, pos, nrm, dep, act = _candidates(spec, state, cfg, pair_out)
 
-    # Stable compaction: active candidates first, original order preserved.
-    order = jnp.argsort(~act, stable=True)[:K]
+    # Stable compaction via a one-hot selection matmul: active candidate
+    # number o lands in lane o (original order preserved).  Equivalent to
+    # a stable argsort-take but maps onto the MXU instead of a sort.
+    offs = jnp.cumsum(act.astype(jnp.int32)) - act.astype(jnp.int32)
+    slot = jnp.arange(K)
+    sel = ((offs[None, :] == slot[:, None]) & act[None, :])  # (K, C)
+    self_f = sel.astype(pos.dtype)
+    sel_i = sel.astype(jnp.int32)
     cs = ContactSet(
-        b0=b0[order], b1=b1[order], position=pos[order],
-        normal=nrm[order], depth=dep[order], active=act[order],
+        b0=sel_i @ b0 - (1 - sel_i.sum(-1)),  # inactive lanes -> -1
+        b1=sel_i @ b1 - (1 - sel_i.sum(-1)),
+        position=self_f @ pos,
+        normal=self_f @ nrm,
+        depth=self_f @ dep,
+        active=sel.any(axis=-1),
     )
     return _dedupe(spec, state, cs, cfg)
 
@@ -164,3 +203,43 @@ def contact_frames(cs: ContactSet) -> jax.Array:
         jnp.asarray([0.0, 0.0, 1.0], cs.normal.dtype), cs.normal.shape
     )
     return quat.align_vectors_mat(cs.normal, z)
+
+
+def make_contacts_batched(
+    spec: SceneSpec, states: State, cfg: SimConfig, use_kernel=None
+) -> ContactSet:
+    """Batched contact generation over a leading scenario axis.
+
+    On TPU (or with use_kernel=True) the pairwise narrowphase for ALL
+    scenarios runs as one lane-major Pallas kernel call
+    (ops/collision_kernel.py) instead of nested vmaps of the XLA path;
+    compaction/dedupe stay vmapped.  The broadphase pair_capacity path
+    falls back to the XLA narrowphase (dynamic pair subsets per scene)."""
+    P = spec.num_pairs
+    backend_tpu = jax.default_backend() == "tpu"
+    if use_kernel is None:
+        use_kernel = backend_tpu
+    use_kernel = use_kernel and P > 0 and not (0 < cfg.pair_capacity < P)
+
+    if not use_kernel:
+        return jax.vmap(lambda st: make_contacts(spec, st, cfg))(states)
+
+    from eggshell_tpu.ops.collision_kernel import collide_boxes_lanes
+
+    B = states.p.shape[0]
+    R = quat.quat_to_mat(states.q)                     # (B, n, 3, 3)
+    pi, pj = spec.pair_i, spec.pair_j
+    flat = lambda x: x.reshape((B * P,) + x.shape[2:])
+    out = collide_boxes_lanes(
+        flat(states.p[:, pi]), flat(R[:, pi]),
+        jnp.broadcast_to(spec.half_extents[pi], (B, P, 3)).reshape(-1, 3),
+        flat(states.p[:, pj]), flat(R[:, pj]),
+        jnp.broadcast_to(spec.half_extents[pj], (B, P, 3)).reshape(-1, 3),
+        interpret=not backend_tpu,
+    )
+    pair_out = jax.tree_util.tree_map(
+        lambda x: x.reshape((B, P) + x.shape[1:]), out
+    )
+    return jax.vmap(
+        lambda st, po: make_contacts(spec, st, cfg, pair_out=po)
+    )(states, pair_out)

@@ -105,19 +105,8 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
 # ODE-style step
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step_ode(
-    spec: SceneSpec,
-    state: State,
-    cfg: SimConfig,
-    ext_force: Optional[jax.Array] = None,
-) -> Tuple[State, ContactSet]:
-    """One OPEN_DYNAMICS_ENGINE step (ref Ensemble::Step, ensembles.cc:390-427
-    with g = OPEN_DYNAMICS_ENGINE).  Returns (new_state, contact_set).
-
-    `ext_force` (n, 6) adds control wrenches [force; torque] per body on
-    top of gravity + gyroscopic terms — the MPC control input (a new
-    capability; the reference has no actuation)."""
+def _pre_solve(spec, state, cfg, ext_force):
+    """Everything up to the lambda solve: contacts, constraints, rhs, A."""
     dt = cfg.dt
     cs = make_contacts(spec, state, cfg)
     sys = build_constraints(spec, state, cs, cfg)
@@ -134,19 +123,93 @@ def step_ode(
         "mnk,nk->m", sys.J, u / dt + MinvF
     )
     A = system_matrix(spec, state, sys, cfg)
-    lam = _solve_lambda(A, rhs, sys, cfg)
+    return cs, sys, A, rhs, u, Minv, F
 
-    # v_dot = Minv (F + J^T lambda)   (ref :498-538)
+
+def _post_solve(state, cfg, sys, lam, u, Minv, F):
+    """v_dot = Minv (F + J^T lambda); midpoint position update
+    (ref :498-538, :577-591)."""
+    dt = cfg.dt
     JTlam = jnp.einsum("mnk,m->nk", sys.J, lam)
     vdot = jnp.einsum("nij,nj->ni", Minv, F + JTlam)
     u_new = u + dt * vdot
 
-    # Midpoint position update; R <- Q(w_mid dt) R  (ref :577-591)
     u_mid = 0.5 * (u + u_new)
     p_new = state.p + dt * u_mid[:, :3]
     q_new = quat.integrate_quat(state.q, u_mid[:, 3:], dt)
-    new_state = State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
-    return new_state, cs
+    return State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_ode(
+    spec: SceneSpec,
+    state: State,
+    cfg: SimConfig,
+    ext_force: Optional[jax.Array] = None,
+) -> Tuple[State, ContactSet]:
+    """One OPEN_DYNAMICS_ENGINE step (ref Ensemble::Step, ensembles.cc:390-427
+    with g = OPEN_DYNAMICS_ENGINE).  Returns (new_state, contact_set).
+
+    `ext_force` (n, 6) adds control wrenches [force; torque] per body on
+    top of gravity + gyroscopic terms — the MPC control input (a new
+    capability; the reference has no actuation)."""
+    cs, sys, A, rhs, u, Minv, F = _pre_solve(spec, state, cfg, ext_force)
+    lam = _solve_lambda(A, rhs, sys, cfg)
+    return _post_solve(state, cfg, sys, lam, u, Minv, F), cs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_ode_batched(
+    spec: SceneSpec,
+    states: State,
+    cfg: SimConfig,
+    ext_forces: Optional[jax.Array] = None,
+) -> State:
+    """Batched step over a leading scenario axis.  With
+    SolverKind.JACOBI_KERNEL the per-scenario QPs are solved by ONE fused
+    Pallas kernel call (batch mapped onto TPU lanes, all sweeps in VMEM)
+    instead of a vmapped per-scenario solve — the hot path of the
+    rollouts/s north star."""
+    from eggshell_tpu.physics.contacts import make_contacts_batched
+
+    css = make_contacts_batched(spec, states, cfg)
+    in_axes = (0, 0, 0 if ext_forces is not None else None)
+
+    def pre(state, cs_one, ext):
+        sys = build_constraints(spec, state, cs_one, cfg)
+        u = scn.pack_velocity(state)
+        Minv = scn.inv_mass_blocks(spec, state)
+        F = scn.external_forces(spec, state, cfg.gravity)
+        if ext is not None:
+            F = F + ext
+        MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+        rhs = -cfg.erp / cfg.dt / cfg.dt * sys.err - jnp.einsum(
+            "mnk,nk->m", sys.J, u / cfg.dt + MinvF
+        )
+        A = system_matrix(spec, state, sys, cfg)
+        return sys, A, rhs, u, Minv, F
+
+    sys, A, rhs, u, Minv, F = jax.vmap(pre, in_axes=in_axes)(
+        states, css, ext_forces
+    )
+
+    if cfg.solver == SolverKind.JACOBI_KERNEL:
+        from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        lam = solve_lcp_jacobi_pallas(
+            A, rhs, sys.is_eq, sys.lo, sys.hi,
+            iters=cfg.solver_iters, omega=cfg.jacobi_omega,
+            interpret=interpret,
+        )
+    else:
+        lam = jax.vmap(lambda a, r, s: _solve_lambda(a, r, s, cfg))(
+            A, rhs, sys
+        )
+
+    return jax.vmap(
+        lambda st, s, l, uu, mi, ff: _post_solve(st, cfg, s, l, uu, mi, ff)
+    )(states, sys, lam, u, Minv, F)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

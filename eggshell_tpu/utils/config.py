@@ -41,6 +41,7 @@ class SolverKind(enum.IntEnum):
     JACOBI = 1   # projected Jacobi (fully parallel sweep)
     SOR = 2      # backward projected SOR, omega=1.5 (ref sparse_iterations.cc:15)
     DIRECT = 3   # Murty pivot + Schur mixed solver (ref lcp.cc:157-336)
+    JACOBI_KERNEL = 4  # fused Pallas kernel (batched path only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +91,12 @@ class SimConfig:
     min_constraint_distance: float = 1e-6
     # Contact capacity: max live contacts per scene (masked lanes).
     contact_capacity: int = 64
+    # Broadphase: when > 0, AABB-prune the candidate pair list down to
+    # this many lanes before the SAT narrowphase (toolkit/collision.h:40
+    # analog; 0 = run the narrowphase on every candidate pair like
+    # eggshell/ensembles.cc:460-474).
+    pair_capacity: int = 0
+    broadphase_margin: float = 0.0
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
