@@ -1,0 +1,205 @@
+"""Quality triangulation of SDF shapes — the rama mesh tier
+(rama/mesh.cc + vendored Shewchuk Triangle equivalent).
+
+distmesh-style algorithm (Persson & Strang 2004, public method): seed a
+hex-packed point cloud inside the shape, then relax it as a truss where
+each Delaunay edge pushes with force max(L0 - L, 0); boundary points
+project back onto the zero level set via the numerical SDF gradient.
+scipy.spatial.Delaunay supplies the triangulation at each retriangulation
+step (host-side preprocessing, like the reference's mesher — meshing is
+not the TPU hot path; the FEM solves are).
+
+The resulting `Mesh` carries boundary-edge attributes resolved from the
+shape's painted Port/ABC segments (EdgeInfo analog, rama/mesh.h:21-80)
+and per-triangle materials from painted regions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+from eggshell_tpu.fem.shape import Shape
+
+
+@dataclasses.dataclass
+class Mesh:
+    points: np.ndarray          # (N, 2)
+    triangles: np.ndarray       # (T, 3) int
+    boundary_edges: np.ndarray  # (E, 2) int — edges on the boundary
+    # per boundary edge: kind 0 = PEC (default), 1 = port, 2 = ABC
+    edge_kind: np.ndarray       # (E,)
+    edge_port: np.ndarray       # (E,) port number (0 if none)
+    epsilon: np.ndarray         # (T,) complex per-triangle permittivity
+    sigma_xx: np.ndarray        # (T,)
+    sigma_yy: np.ndarray        # (T,)
+
+    @property
+    def num_points(self) -> int:
+        return len(self.points)
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.triangles)
+
+    def port_edges(self, port: int) -> np.ndarray:
+        return self.boundary_edges[(self.edge_kind == 1) & (self.edge_port == port)]
+
+
+def _sdf_grad(shape: Shape, pts: np.ndarray, h: float = 1e-6) -> np.ndarray:
+    d0 = shape.distance(pts)
+    gx = (shape.distance(pts + [h, 0]) - d0) / h
+    gy = (shape.distance(pts + [0, h]) - d0) / h
+    return np.stack([gx, gy], axis=1)
+
+
+def mesh_shape(
+    shape: Shape,
+    edge_length: float,
+    max_iters: int = 60,
+    seed: int = 0,
+    geps_scale: float = 0.001,
+) -> Mesh:
+    """Triangulate `shape` with target edge length `edge_length`
+    (config.mesh_edge_length analog, ref rama/solver.h:42-126)."""
+    assert shape.bbox is not None, "shape must carry a bounding box"
+    xmin, ymin, xmax, ymax = shape.bbox
+    h0 = edge_length
+    geps = geps_scale * h0
+
+    # Hex-packed seeds
+    x = np.arange(xmin - h0, xmax + h0, h0)
+    y = np.arange(ymin - h0, ymax + h0, h0 * np.sqrt(3) / 2)
+    X, Y = np.meshgrid(x, y)
+    X[1::2] += h0 / 2
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    pts = pts[shape.distance(pts) < geps]
+
+    fixed = np.asarray(
+        [p for p in shape.fixed_points if shape.distance([p])[0] < h0],
+        dtype=float,
+    ).reshape(-1, 2)
+    if len(fixed):
+        # drop seeds too close to fixed points, then prepend fixed
+        d = np.min(
+            np.linalg.norm(pts[:, None, :] - fixed[None, :, :], axis=2), axis=1
+        )
+        pts = np.concatenate([fixed, pts[d > 0.5 * h0]])
+    nfix = len(fixed)
+
+    def triangulate(p):
+        tri = Delaunay(p).simplices
+        cent = p[tri].mean(axis=1)
+        keep = shape.distance(cent) < -geps
+        return tri[keep]
+
+    Fscale = 1.2
+    deltat = 0.2
+    old = None
+    for _ in range(max_iters):
+        if old is None or np.max(
+            np.linalg.norm(pts - old, axis=1)
+        ) > 0.1 * h0:
+            old = pts.copy()
+            tri = triangulate(pts)
+            edges = np.unique(
+                np.sort(
+                    np.concatenate(
+                        [tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]
+                    ),
+                    axis=1,
+                ),
+                axis=0,
+            )
+        vec = pts[edges[:, 0]] - pts[edges[:, 1]]
+        L = np.linalg.norm(vec, axis=1)
+        L0 = Fscale * h0 * np.ones_like(L)
+        F = np.maximum(L0 - L, 0)
+        Fvec = (F / np.maximum(L, 1e-12))[:, None] * vec
+        move = np.zeros_like(pts)
+        np.add.at(move, edges[:, 0], Fvec)
+        np.add.at(move, edges[:, 1], -Fvec)
+        move[:nfix] = 0
+        pts = pts + deltat * move
+
+        # project exterior points back to the boundary
+        d = shape.distance(pts)
+        out = d > 0
+        if out.any():
+            g = _sdf_grad(shape, pts[out])
+            gn = np.maximum(np.linalg.norm(g, axis=1), 1e-12)
+            pts[out] -= (d[out] / gn**2)[:, None] * g
+
+        # snap points near painted material interfaces onto them, so
+        # dielectric boundaries are mesh-conforming (the reference's
+        # mesher constrains these edges exactly via Triangle; here the
+        # zero level set of each painted region attracts nearby points)
+        for mat in shape.materials:
+            dm = mat.region.distance(pts)
+            near = (np.abs(dm) < 0.35 * h0) & (shape.distance(pts) < -geps)
+            near[:nfix] = False
+            if near.any():
+                g = _sdf_grad(mat.region, pts[near])
+                gn = np.maximum(np.linalg.norm(g, axis=1), 1e-12)
+                pts[near] -= (dm[near] / gn**2)[:, None] * g
+
+    tri = triangulate(pts)
+    # drop unused points, remap
+    used = np.unique(tri)
+    remap = -np.ones(len(pts), dtype=int)
+    remap[used] = np.arange(len(used))
+    pts = pts[used]
+    tri = remap[tri]
+
+    # Orient triangles CCW
+    v1 = pts[tri[:, 1]] - pts[tri[:, 0]]
+    v2 = pts[tri[:, 2]] - pts[tri[:, 0]]
+    flip = (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]) < 0
+    tri[flip] = tri[flip][:, [0, 2, 1]]
+
+    # Boundary edges: edges belonging to exactly one triangle
+    all_e = np.sort(
+        np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]),
+        axis=1,
+    )
+    uniq, counts = np.unique(all_e, axis=0, return_counts=True)
+    bedges = uniq[counts == 1]
+
+    # Resolve painted boundary attributes
+    kind = np.zeros(len(bedges), dtype=int)
+    port = np.zeros(len(bedges), dtype=int)
+    mids = 0.5 * (pts[bedges[:, 0]] + pts[bedges[:, 1]])
+    for seg in shape.boundaries:
+        p1 = np.asarray(seg.p1)
+        p2 = np.asarray(seg.p2)
+        e = p2 - p1
+        elen2 = e @ e
+        t = np.clip(((mids - p1) @ e) / max(elen2, 1e-300), 0, 1)
+        proj = p1[None, :] + t[:, None] * e[None, :]
+        dist = np.linalg.norm(mids - proj, axis=1)
+        on = dist <= max(seg.tol, 0.3 * edge_length)
+        if seg.kind == "port":
+            kind[on] = 1
+            port[on] = seg.port_number
+        elif seg.kind == "abc":
+            kind[on] = 2
+
+    # Per-triangle materials
+    cent = pts[tri].mean(axis=1)
+    eps = np.ones(len(tri), dtype=complex)
+    sxx = np.ones(len(tri))
+    syy = np.ones(len(tri))
+    for mat in shape.materials:
+        inside = mat.region.contains(cent)
+        eps[inside] = mat.epsilon
+        sxx[inside] = mat.sigma_xx
+        syy[inside] = mat.sigma_yy
+
+    return Mesh(
+        points=pts, triangles=tri, boundary_edges=bedges,
+        edge_kind=kind, edge_port=port, epsilon=eps,
+        sigma_xx=sxx, sigma_yy=syy,
+    )

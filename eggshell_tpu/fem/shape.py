@@ -157,9 +157,6 @@ class Shape:
         self.materials: List[MaterialRegion] = []
 
     # ---- CSG (ref rama/shape.h operator+/-/& via Clipper) ----
-    def _combine(self, other: "Shape", sdf cls=None):
-        raise NotImplementedError
-
     def __add__(self, other: "Shape") -> "Shape":
         s = Shape(
             _UnionSDF(self.sdf, other.sdf),
