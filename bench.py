@@ -33,7 +33,7 @@ def main():
     dtype = jnp.float32
     cfg = SimConfig(
         solver=SolverKind.JACOBI_KERNEL,
-        solver_iters=60,
+        solver_iters=50,
         solver_tol=0.0,
         jacobi_omega=0.3,
         conditional_cfm=False,
