@@ -1,0 +1,104 @@
+"""ctypes bindings for the native C++ components (native/box_lcp.cc).
+
+The reference's production box-LCP lives in C++
+(toolkit/lcp.{h,cc}: MURTY/COTTLE_DANTZIG with an incrementally
+maintained Cholesky factor); here the equivalent native solver is built
+on demand with g++ and loaded via ctypes — no pybind11 dependency.
+
+Falls back with a clear error if no compiler is available; the pure
+NumPy oracle (eggshell_tpu.oracle.lcp_oracle) covers that case.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+
+
+def _load() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    d = _native_dir()
+    so = os.path.join(d, "libeggshell_native.so")
+    src = os.path.join(d, "box_lcp.cc")
+    if not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", so, src],
+            check=True, cwd=d,
+        )
+    lib = ctypes.CDLL(so)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.egg_solve_box_lcp.restype = ctypes.c_int
+    lib.egg_solve_box_lcp.argtypes = [
+        ctypes.c_int, dp, dp, dp, dp, dp, dp, ip, ctypes.c_int,
+        ctypes.c_double,
+    ]
+    lib.egg_solve_box_lcp_batch.restype = None
+    lib.egg_solve_box_lcp_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp, dp, ip,
+        ctypes.c_int, ctypes.c_double,
+    ]
+    _LIB = lib
+    return lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def solve_box_lcp(
+    A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Native principal-pivot box LCP.  Returns (x, w, converged)."""
+    lib = _load()
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    n = A.shape[0]
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    # the native hi clamp is finite; replace inf with a huge bound
+    lo = np.where(np.isinf(lo), -1e300, np.asarray(lo, float)).copy()
+    hi = np.where(np.isinf(hi), 1e300, np.asarray(hi, float)).copy()
+    x = np.zeros(n)
+    w = np.zeros(n)
+    side = np.zeros(n, dtype=np.int32)
+    ok = lib.egg_solve_box_lcp(
+        n, _dp(A), _dp(b), _dp(lo), _dp(hi), _dp(x), _dp(w),
+        side.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max_iterations, tol,
+    )
+    return x, w, bool(ok)
+
+
+def solve_box_lcp_batch(
+    A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10
+):
+    """Batched native solves: A (B, n, n), b/lo/hi (B, n).
+    Returns (x, w, status)."""
+    lib = _load()
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B, n, _ = A.shape
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    lo = np.where(np.isinf(lo), -1e300, np.asarray(lo, float)).copy()
+    hi = np.where(np.isinf(hi), 1e300, np.asarray(hi, float)).copy()
+    x = np.zeros((B, n))
+    w = np.zeros((B, n))
+    status = np.zeros(B, dtype=np.int32)
+    lib.egg_solve_box_lcp_batch(
+        B, n, _dp(A), _dp(b), _dp(lo), _dp(hi), _dp(x), _dp(w),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        max_iterations, tol,
+    )
+    return x, w, status.astype(bool)

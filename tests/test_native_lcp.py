@@ -1,0 +1,72 @@
+"""Native C++ box-LCP (toolkit/lcp analog) vs the NumPy oracle —
+the reference's 100-random-SPD certification load (toolkit/lcp.cc tests,
+eggshell/lcp.cc:412-528)."""
+
+import numpy as np
+import pytest
+
+from eggshell_tpu import native
+from eggshell_tpu.oracle import lcp_oracle
+
+
+def gen_spd(rng, n):
+    m = rng.uniform(-1, 1, (n, n))
+    A = m.T @ m + 0.1 * n * np.eye(n)
+    return A
+
+
+def test_native_builds():
+    x, w, ok = native.solve_box_lcp(
+        np.eye(3), np.asarray([1.0, -2.0, 0.5]),
+        np.zeros(3), np.full(3, np.inf),
+    )
+    assert ok
+    np.testing.assert_allclose(x, [1.0, 0.0, 0.5], atol=1e-12)
+    np.testing.assert_allclose(w, [0.0, 2.0, 0.0], atol=1e-12)
+
+
+def test_native_certification_100():
+    """100 random 50x50 SPD box LCPs, 100% must satisfy KKT
+    (ref toolkit/lcp test load)."""
+    rng = np.random.default_rng(0)
+    n = 50
+    is_eq = np.zeros(n, bool)
+    passed = 0
+    for _ in range(100):
+        A = gen_spd(rng, n)
+        b = rng.uniform(-1, 1, n)
+        lo = np.full(n, -rng.uniform(0.1, 1.0))
+        hi = np.full(n, rng.uniform(0.1, 1.0))
+        x, w, ok = native.solve_box_lcp(A, b, lo, hi)
+        if ok and lcp_oracle.check_lcp_solution(A, b, x, w, is_eq, lo, hi, 1e-7):
+            passed += 1
+    assert passed == 100, passed
+
+
+def test_native_matches_oracle():
+    rng = np.random.default_rng(1)
+    n = 30
+    for _ in range(20):
+        A = gen_spd(rng, n)
+        b = rng.uniform(-1, 1, n)
+        lo = np.zeros(n)
+        hi = np.full(n, np.inf)
+        x, w, ok = native.solve_box_lcp(A, b, lo, hi)
+        xo, wo, oko = lcp_oracle.murty_principal_pivot(A, b, lo, hi)
+        assert ok and oko
+        np.testing.assert_allclose(x, xo, atol=1e-7)
+
+
+def test_native_batch():
+    rng = np.random.default_rng(2)
+    B, n = 32, 20
+    A = np.stack([gen_spd(rng, n) for _ in range(B)])
+    b = rng.uniform(-1, 1, (B, n))
+    lo = np.full((B, n), -1.0)
+    hi = np.full((B, n), 1.0)
+    x, w, ok = native.solve_box_lcp_batch(A, b, lo, hi)
+    assert ok.all()
+    for k in range(B):
+        assert lcp_oracle.check_lcp_solution(
+            A[k], b[k], x[k], w[k], np.zeros(n, bool), lo[k], hi[k], 1e-7
+        )
