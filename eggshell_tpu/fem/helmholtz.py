@@ -161,9 +161,14 @@ class DrivenSolution:
     k0: float
 
 
-def solve_driven(mesh: Mesh, config: FemConfig) -> DrivenSolution:
+def solve_driven(
+    mesh: Mesh, config: FemConfig, point_source=None
+) -> DrivenSolution:
     """Single-frequency driven solve with matched ports
-    (ref Solver::Solve electrodynamic path, rama/solver.cc:1382-1422)."""
+    (ref Solver::Solve electrodynamic path, rama/solver.cc:1382-1422).
+
+    `point_source` = (x, y): unit excitation at the nearest mesh node
+    (line-current analog) — used for radiation/antenna problems."""
     dtype = jnp.complex64
     pts = jnp.asarray(mesh.points)
     tri = jnp.asarray(mesh.triangles)
@@ -197,6 +202,14 @@ def solve_driven(mesh: Mesh, config: FemConfig) -> DrivenSolution:
     abc_edges = mesh.boundary_edges[mesh.edge_kind == 2]
     if len(abc_edges):
         A = A + 1j * k0 * _boundary_mass(pts, abc_edges, N, dtype)
+
+    if point_source is not None:
+        node = int(
+            np.argmin(
+                np.linalg.norm(mesh.points - np.asarray(point_source), axis=1)
+            )
+        )
+        rhs = rhs.at[node].add(1.0)
 
     # Dirichlet on PEC boundary (EZ / ES); EXY leaves walls natural.
     if config.type in ("EZ", "ES"):

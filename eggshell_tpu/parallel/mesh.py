@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from eggshell_tpu.physics.scene import SceneSpec, State
 from eggshell_tpu.physics.stepper import step_ode
@@ -77,7 +77,7 @@ def sharded_rollout(
         mesh=mesh,
         in_specs=(spec_specs, state_specs),
         out_specs=state_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(spec, states)
 
@@ -93,6 +93,6 @@ def sharded_mean_cost(
         return jax.lax.psum(s, axis) / jax.lax.psum(n, axis)
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(), check_rep=False
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(), check_vma=False
     )
     return jax.jit(fn)(cost_per_scenario)

@@ -147,3 +147,38 @@ def test_abc_absorbs():
     # reflection at the ABC should be modest
     assert abs(sol.s_params[1]) < 0.35
     assert np.isfinite(np.asarray(sol.field)).all()
+
+
+def test_antenna_pattern_isotropic_monopole():
+    """Center line-source in a circular ABC domain radiates isotropically:
+    directivity ~ 1 and phase center ~ the source location
+    (rama antenna-pattern capability, solver.h:208-224)."""
+    from eggshell_tpu.fem.antenna import antenna_pattern, directivity, phase_center
+
+    dom = Circle(0, 0, 1.0)
+    # paint the whole rim as ABC with four segments (chords catch all edges
+    # within tol of the circle via generous tolerance)
+    import numpy as _np
+
+    th = _np.linspace(0, 2 * _np.pi, 65)
+    for a, b in zip(th[:-1], th[1:]):
+        dom.ABC((float(_np.cos(a)), float(_np.sin(a))),
+                (float(_np.cos(b)), float(_np.sin(b))), tol=0.05)
+    mesh = mesh_shape(dom, 0.08, seed=0)
+    assert (mesh.edge_kind == 2).sum() > 30
+
+    k0 = 6.0
+    sol = solve_driven(
+        mesh, FemConfig(type="EXY", frequency=freq_for_k(k0)),
+        point_source=(0.0, 0.0),
+    )
+    angles = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    pat = antenna_pattern(mesh, np.asarray(sol.field), k0, angles)
+    D = directivity(pat)
+    assert D < 1.6, D
+    mag = np.abs(pat)
+    assert mag.max() / mag.min() < 1.8
+
+    cx, cy = phase_center(mesh, np.asarray(sol.field), k0, angles,
+                          search_radius=0.4, grid=9)
+    assert abs(cx) < 0.15 and abs(cy) < 0.15, (cx, cy)

@@ -225,3 +225,59 @@ def test_living_room_loads_and_steps():
     assert float(final.p[4, 2]) < float(state.p[4, 2])
     # nothing blew up
     assert float(jnp.abs(final.p).max()) < 10.0
+
+
+def test_friction_models():
+    """NO_FRICTION slides freely; BOX resists up to the bound; INFINITE
+    pins the tangential motion (ref eggshell/contact.cc:80-116)."""
+    from eggshell_tpu.mpc.sampling import rollout_controlled
+    from eggshell_tpu.utils.config import FrictionModel
+
+    spec, state = scenes.box_drop(height=0.15)
+    H = 150
+    push = jnp.zeros((H, 6)).at[:, 0].set(2.0)  # 2 N < 4-contact box bound
+
+    def run(model):
+        cfg = CFG_PGS.replace(
+            friction_model=model, contact_capacity=16,
+            conditional_cfm=False, cfm_always=0.01, solver_iters=60,
+        )
+        fin, _ = rollout_controlled(spec, state, cfg, push, 0)
+        return float(fin.p[0, 0])
+
+    x_none = run(FrictionModel.NO_FRICTION)
+    x_box = run(FrictionModel.BOX)
+    x_inf = run(FrictionModel.INFINITE)
+    assert x_none > 0.015, x_none          # slides freely
+    assert abs(x_box) < 1e-4, x_box        # static friction holds (2N < bound)
+    assert abs(x_inf) < 1e-4, x_inf        # infinite friction pins
+
+    # above the bound, BOX slides but slower than frictionless
+    push2 = jnp.zeros((H, 6)).at[:, 0].set(25.0)
+    cfg_box = CFG_PGS.replace(friction_model=FrictionModel.BOX,
+                              contact_capacity=16, conditional_cfm=False,
+                              cfm_always=0.01, solver_iters=60)
+    cfg_none = cfg_box.replace(friction_model=FrictionModel.NO_FRICTION)
+    fb, _ = rollout_controlled(spec, state, cfg_box, push2, 0)
+    fn_, _ = rollout_controlled(spec, state, cfg_none, push2, 0)
+    assert 0 < float(fb.p[0, 0]) < float(fn_.p[0, 0])
+
+
+def test_checkpoint_resume_rollout(tmp_path):
+    """Checkpoint mid-rollout, restore, continue: identical trajectory to
+    an uninterrupted run (SURVEY §5.4 capability)."""
+    from eggshell_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    spec, state = scenes.box_stack(3)
+    cfg = CFG_PGS.replace(contact_capacity=24)
+    mid, _ = par.rollout(spec, state, cfg, 40)
+    save_checkpoint(str(tmp_path / "ck"), {"state": mid._asdict()})
+    loaded = restore_checkpoint(str(tmp_path / "ck"))
+    from eggshell_tpu.physics.scene import State
+
+    resumed = State(**{k: jnp.asarray(v) for k, v in loaded["state"].items()})
+    fin_resumed, _ = par.rollout(spec, resumed, cfg, 40)
+    fin_straight, _ = par.rollout(spec, state, cfg, 80)
+    np.testing.assert_allclose(
+        np.asarray(fin_resumed.p), np.asarray(fin_straight.p), atol=1e-12
+    )

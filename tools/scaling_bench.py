@@ -1,0 +1,77 @@
+"""Weak-scaling harness — the BASELINE.json scaling metric
+(rollouts/s at 1 chip / N devices, efficiency vs linear).
+
+On real multi-chip hardware this measures ICI-sharded rollouts; without
+it (this box has one tunneled chip), run with a virtual CPU mesh to
+validate the sharding path and measure the collective/sharding overhead
+shape:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_bench.py
+
+For multi-host runs, call jax.distributed.initialize() first (one
+process per host) — the mesh spans all processes' devices automatically.
+
+Prints one JSON line per device count plus a summary efficiency figure.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", "")
+
+
+def main(per_device_batch: int = 256, horizon: int = 20):
+    from eggshell_tpu.parallel import mesh as pmesh
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    dtype = jnp.float32
+    cfg = SimConfig(
+        solver=SolverKind.JACOBI, solver_iters=30, jacobi_omega=0.3,
+        conditional_cfm=False, cfm_always=0.01, contact_capacity=20,
+    )
+    spec, state = scenes.box_stack(4, dtype=dtype)
+    ndev_all = len(jax.devices())
+    counts = sorted({1, 2, ndev_all} & set(range(1, ndev_all + 1)))
+    results = []
+    for nd in counts:
+        B = per_device_batch * nd
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+        )
+        m = pmesh.make_mesh(nd)
+        states = pmesh.shard_batch(m, states)
+        out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rps = B / dt
+        results.append((nd, rps))
+        print(json.dumps({
+            "devices": nd, "batch": B, "rollouts_per_s": round(rps, 1),
+            "per_device": round(rps / nd, 1),
+        }))
+    if len(results) > 1:
+        base = results[0][1] / results[0][0]
+        eff = results[-1][1] / results[-1][0] / base
+        print(json.dumps({
+            "metric": "weak-scaling efficiency",
+            "devices": results[-1][0],
+            "value": round(eff, 3),
+            "target": 0.9,
+        }))
+
+
+if __name__ == "__main__":
+    main()
