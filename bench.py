@@ -38,7 +38,7 @@ def main():
         jacobi_omega=0.3,
         conditional_cfm=False,
         cfm_always=0.01,
-        contact_capacity=24,
+        contact_capacity=20,
     )
     spec, state = scenes.box_stack(4, dtype=dtype)
 
