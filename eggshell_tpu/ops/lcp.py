@@ -63,7 +63,22 @@ def residual_error(A, b, x, is_eq, lo, hi):
     return eq_err + jnp.linalg.norm(ineq)
 
 
-def _gs_sweep(A, b, x, is_eq, lo, hi):
+def _bounds(x, lo, hi, couple, mu):
+    """Effective bounds: rows with couple >= 0 get Coulomb-pyramid bounds
+    +-mu * x[couple] (coupled to the normal impulse of their contact);
+    others keep the static box bounds.  This implements the friction
+    model the reference declares but leaves empty
+    (COULOMB_PYRAMID, eggshell/contact.cc:150-152)."""
+    if couple is None:
+        return lo, hi
+    safe = jnp.where(couple >= 0, couple, 0)
+    ncap = mu * jnp.maximum(x[..., safe], 0.0)
+    lo_eff = jnp.where(couple >= 0, -ncap, lo)
+    hi_eff = jnp.where(couple >= 0, ncap, hi)
+    return lo_eff, hi_eff
+
+
+def _gs_sweep(A, b, x, is_eq, lo, hi, couple=None, mu=0.0):
     """One projected Gauss-Seidel sweep via scan over rows.
 
     Each row update uses the freshest x: x_i <- proj((b_i - A[i,:]x + A_ii
@@ -73,7 +88,8 @@ def _gs_sweep(A, b, x, is_eq, lo, hi):
 
     def row(x, i):
         r = b[i] - A[i] @ x + diag[i] * x[i]
-        xi = project(r / diag[i], is_eq[i], lo[i], hi[i])
+        lo_e, hi_e = _bounds(x, lo, hi, couple, mu)
+        xi = project(r / diag[i], is_eq[i], lo_e[i], hi_e[i])
         return x.at[i].set(xi), None
 
     x, _ = jax.lax.scan(row, x, jnp.arange(n))
@@ -99,7 +115,7 @@ def _sor_sweep(A, b, x, is_eq, lo, hi, omega):
     return x
 
 
-def _jacobi_sweep(A, b, x, is_eq, lo, hi, omega=1.0):
+def _jacobi_sweep(A, b, x, is_eq, lo, hi, omega=1.0, couple=None, mu=0.0):
     """One projected Jacobi sweep — fully parallel (ref :91-95).
 
     `omega` < 1 under-relaxes: x <- proj((1-w) x + w D^-1 (b - (A-D) x)).
@@ -109,7 +125,8 @@ def _jacobi_sweep(A, b, x, is_eq, lo, hi, omega=1.0):
     the massively parallel TPU alternative to the sequential GS sweep."""
     diag = jnp.diagonal(A)
     r = b - A @ x + diag * x
-    return project((1.0 - omega) * x + omega * (r / diag), is_eq, lo, hi)
+    lo_e, hi_e = _bounds(x, lo, hi, couple, mu)
+    return project((1.0 - omega) * x + omega * (r / diag), is_eq, lo_e, hi_e)
 
 
 @functools.partial(
@@ -128,6 +145,8 @@ def solve_lcp(
     omega: float = 1.5,
     jacobi_omega: float = 1.0,
     x0: Optional[jax.Array] = None,
+    couple: Optional[jax.Array] = None,
+    mu: float = 0.0,
 ) -> jax.Array:
     """Iteratively solve the mixed LCP A x = b + w.
 
@@ -141,9 +160,11 @@ def solve_lcp(
     x = project(x, is_eq, lo, hi)
 
     if method == "pgs":
-        sweep = lambda xx: _gs_sweep(A, b, xx, is_eq, lo, hi)
+        sweep = lambda xx: _gs_sweep(A, b, xx, is_eq, lo, hi, couple, mu)
     elif method == "jacobi":
-        sweep = lambda xx: _jacobi_sweep(A, b, xx, is_eq, lo, hi, jacobi_omega)
+        sweep = lambda xx: _jacobi_sweep(
+            A, b, xx, is_eq, lo, hi, jacobi_omega, couple, mu
+        )
     elif method == "sor":
         sweep = lambda xx: _sor_sweep(A, b, xx, is_eq, lo, hi, omega)
     else:

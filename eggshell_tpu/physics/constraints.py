@@ -31,6 +31,9 @@ class ConstraintSystem(NamedTuple):
     lo: jax.Array          # (m,) lambda lower bound (inequality rows)
     hi: jax.Array          # (m,)
     row_active: jax.Array  # (m,) False = masked lane
+    # Coulomb coupling: row index of the normal row whose impulse caps
+    # this (tangential) row, or -1 (FrictionModel.COULOMB_PYRAMID only).
+    couple: jax.Array      # (m,) int32
 
     @property
     def num_rows(self) -> int:
@@ -114,6 +117,13 @@ def build_constraints(
         eq = jnp.broadcast_to(jnp.asarray([True, True, False]), (K, 3))
         lo_c = jnp.zeros((K, 3), dtype)
         hi_c = jnp.broadcast_to(jnp.asarray([0.0, 0.0, jnp.inf], dtype), (K, 3))
+    elif fm == FrictionModel.COULOMB_PYRAMID:
+        # tangential bounds are dynamic (+-mu lambda_n, applied inside the
+        # projected sweeps via `couple`); static placeholders are 0.
+        row_on = jnp.broadcast_to(cs.active[:, None], (K, 3))
+        eq = jnp.zeros((K, 3), bool)
+        lo_c = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0], dtype), (K, 3))
+        hi_c = jnp.broadcast_to(jnp.asarray([0.0, 0.0, jnp.inf], dtype), (K, 3))
     else:  # BOX (default)
         mu = cfg.friction_bound
         row_on = jnp.broadcast_to(cs.active[:, None], (K, 3))
@@ -146,5 +156,16 @@ def build_constraints(
     row_active = jnp.concatenate(
         [jnp.ones((3 * Jn,), bool), row_on.reshape(-1)]
     )
+    if fm == FrictionModel.COULOMB_PYRAMID:
+        normal_rows = 3 * Jn + 3 * jnp.arange(K) + 2
+        ccontact = jnp.stack(
+            [normal_rows, normal_rows, jnp.full((K,), -1, jnp.int32)], -1
+        )
+        ccontact = jnp.where(row_on, ccontact, -1).reshape(-1)
+        couple = jnp.concatenate(
+            [jnp.full((3 * Jn,), -1, jnp.int32), ccontact.astype(jnp.int32)]
+        )
+    else:
+        couple = jnp.full((3 * Jn + 3 * K,), -1, jnp.int32)
     return ConstraintSystem(J=J, err=err, is_eq=is_eq, lo=lo, hi=hi,
-                            row_active=row_active)
+                            row_active=row_active, couple=couple)

@@ -94,10 +94,15 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
         SolverKind.SOR: "sor",
     }[cfg.solver]
     check_tol = cfg.solver_tol if cfg.solver_tol > 0 else None
+    from eggshell_tpu.utils.config import FrictionModel
+
+    coulomb = cfg.friction_model == FrictionModel.COULOMB_PYRAMID
     return lcp.solve_lcp(
         A, rhs, sys.is_eq, sys.lo, sys.hi,
         iters=cfg.solver_iters, method=method, check_tol=check_tol,
         omega=cfg.sor_omega, jacobi_omega=cfg.jacobi_omega,
+        couple=sys.couple if coulomb else None,
+        mu=cfg.friction_mu if coulomb else 0.0,
     )
 
 
@@ -193,7 +198,12 @@ def step_ode_batched(
         states, css, ext_forces
     )
 
-    if cfg.solver == SolverKind.JACOBI_KERNEL:
+    from eggshell_tpu.utils.config import FrictionModel
+
+    use_kernel_solver = cfg.solver == SolverKind.JACOBI_KERNEL and (
+        cfg.friction_model != FrictionModel.COULOMB_PYRAMID
+    )  # the fused kernel does not implement normal-coupled bounds yet
+    if use_kernel_solver:
         from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_pallas
 
         interpret = jax.default_backend() != "tpu"
@@ -203,7 +213,10 @@ def step_ode_batched(
             interpret=interpret,
         )
     else:
-        lam = jax.vmap(lambda a, r, s: _solve_lambda(a, r, s, cfg))(
+        solve_cfg = cfg
+        if cfg.solver == SolverKind.JACOBI_KERNEL:
+            solve_cfg = cfg.replace(solver=SolverKind.JACOBI)
+        lam = jax.vmap(lambda a, r, s: _solve_lambda(a, r, s, solve_cfg))(
             A, rhs, sys
         )
 
@@ -376,3 +389,39 @@ def post_stabilize(
 
     state, _, _ = jax.lax.while_loop(cond, body, (state, err2_of(state), 0))
     return state
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics (SURVEY §5.5 — structured per-step metrics)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_diagnostics(
+    spec: SceneSpec, state: State, cfg: SimConfig,
+    ext_force: Optional[jax.Array] = None,
+):
+    """Structured metrics for one step without advancing the state:
+    contact count, max penetration depth, constraint-error norm, solver
+    complementarity residual, kinetic energy.  The build's analog of the
+    reference's inline solver diagnostics (condition numbers / iteration
+    counts, eggshell/sparse_iterations.cc:117-223) — reduce these across
+    a mesh with psum for fleet monitoring."""
+    cs, sys, A, rhs, u, Minv, F = _pre_solve(spec, state, cfg, ext_force)
+    lam = _solve_lambda(A, rhs, sys, cfg)
+    residual = lcp.residual_error(A, rhs, lam, sys.is_eq, sys.lo, sys.hi)
+    mass = jnp.where(spec.inv_mass > 0,
+                     1.0 / jnp.where(spec.inv_mass > 0, spec.inv_mass, 1.0),
+                     0.0)
+    R = state.R()
+    Ig = R @ spec.inertia_body @ jnp.swapaxes(R, -1, -2)
+    ke = 0.5 * jnp.sum(mass[:, None] * state.v**2) + 0.5 * jnp.sum(
+        state.w * jnp.einsum("nij,nj->ni", Ig, state.w)
+    )
+    return {
+        "num_contacts": jnp.sum(cs.active),
+        "max_penetration": jnp.max(jnp.where(cs.active, cs.depth, 0.0)),
+        "constraint_error_norm": jnp.linalg.norm(sys.err),
+        "solver_residual": residual,
+        "kinetic_energy": ke,
+        "max_impulse": jnp.max(jnp.abs(lam)),
+    }

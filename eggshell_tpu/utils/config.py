@@ -19,13 +19,16 @@ class FrictionModel(enum.IntEnum):
     """Contact friction models (ref: eggshell/contact.h:21-26).
 
     COULOMB_PYRAMID is declared but unimplemented in the reference
-    (eggshell/contact.cc:150-152); we implement it as a box-friction bound
-    scaled by the normal impulse estimate, but default to BOX for parity.
+    (eggshell/contact.cc:150-152); this build implements it for real:
+    tangential bounds +-mu * lambda_n coupled to the contact's normal
+    impulse inside the projected sweeps (supported by the PGS/JACOBI
+    solvers).  Default stays BOX for reference parity.
     """
 
     NO_FRICTION = 0
     INFINITE = 1
     BOX = 2
+    COULOMB_PYRAMID = 3
 
 
 class SolverKind(enum.IntEnum):
@@ -72,6 +75,8 @@ class SimConfig:
     cfm_always: float = 0.0
     friction_model: FrictionModel = FrictionModel.BOX
     friction_bound: float = 1.0
+    # Coulomb coefficient for FrictionModel.COULOMB_PYRAMID.
+    friction_mu: float = 0.5
     solver: SolverKind = SolverKind.PGS
     solver_iters: int = 100
     # solver_tol > 0 enables the reference's early-exit convergence check

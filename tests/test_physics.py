@@ -281,3 +281,49 @@ def test_checkpoint_resume_rollout(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fin_resumed.p), np.asarray(fin_straight.p), atol=1e-12
     )
+
+
+def test_coulomb_pyramid_friction():
+    """COULOMB_PYRAMID: tangential capacity scales with the normal load
+    (the model the reference declares but never implements,
+    eggshell/contact.cc:150-152).  A heavier box resists a lateral force
+    that slides a light one."""
+    from eggshell_tpu.mpc.sampling import rollout_controlled
+    from eggshell_tpu.utils.config import FrictionModel
+
+    H = 200
+    push = jnp.zeros((H, 6)).at[:, 0].set(4.0)
+
+    def final_x(mass, mu):
+        from eggshell_tpu.physics.scene import make_scene
+
+        spec, st = make_scene([[0.0, 0.0, 0.15]], masses=[mass], ground=True)
+        cfg = SimConfig(
+            solver=SolverKind.PGS, solver_iters=80,
+            friction_model=FrictionModel.COULOMB_PYRAMID, friction_mu=mu,
+            contact_capacity=16, conditional_cfm=False, cfm_always=0.01,
+        )
+        fin, _ = rollout_controlled(spec, st, cfg, push, 0)
+        return float(fin.p[0, 0])
+
+    # light box (mg=9.8N, mu=0.2 -> cap ~2N < 4N push): slides
+    x_light = final_x(1.0, 0.2)
+    # heavy box (mg=49N, mu=0.2 -> cap ~9.8N > 4N push): static friction holds
+    x_heavy = final_x(5.0, 0.2)
+    assert x_light > 5e-3, x_light
+    assert abs(x_heavy) < 1e-4, x_heavy
+    # higher mu also holds the light box
+    x_grippy = final_x(1.0, 0.8)
+    assert abs(x_grippy) < 1e-4, x_grippy
+
+
+def test_step_diagnostics():
+    """Structured metrics (SURVEY §5.5)."""
+    from eggshell_tpu.physics.stepper import step_diagnostics
+
+    spec, state = scenes.box_stack(3)
+    d = step_diagnostics(spec, state, CFG_PGS.replace(contact_capacity=24))
+    assert 4 <= int(d["num_contacts"]) <= 24
+    assert float(d["max_penetration"]) >= 0
+    assert float(d["kinetic_energy"]) == 0.0
+    assert np.isfinite(float(d["solver_residual"]))
