@@ -192,3 +192,57 @@ def solve_lcp_batched(A, b, is_eq, lo, hi, **kw):
     """vmap over a leading scenario-batch axis."""
     fn = lambda A_, b_, e_, l_, h_: solve_lcp(A_, b_, e_, l_, h_, **kw)
     return jax.vmap(fn)(A, b, is_eq, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Implicit differentiation
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def solve_lcp_implicit(A, b, is_eq, lo, hi, iters=100, method="pgs",
+                       jacobi_omega=1.0, active_eps=1e-8):
+    """solve_lcp with an implicit-function-theorem backward pass.
+
+    Forward: identical to `solve_lcp` (fixed sweeps).  Backward: at the
+    solution the active set is fixed, so x solves the reduced linear
+    system; gradients come from ONE adjoint solve instead of
+    differentiating through every sweep — O(m^3) once vs O(iters m^2)
+    memory/compute, and exact at convergence (OptNet-style).
+
+    Clamped rows propagate gradients to their bound (lo/hi).
+    """
+    return solve_lcp(A, b, is_eq, lo, hi, iters=iters, method=method,
+                     jacobi_omega=jacobi_omega)
+
+
+def _sli_fwd(A, b, is_eq, lo, hi, iters, method, jacobi_omega, active_eps):
+    x = solve_lcp(A, b, is_eq, lo, hi, iters=iters, method=method,
+                  jacobi_omega=jacobi_omega)
+    return x, (A, b, is_eq, lo, hi, x)
+
+
+def _sli_bwd(iters, method, jacobi_omega, active_eps, res, g):
+    A, b, is_eq, lo, hi, x = res
+    eps = active_eps
+    free = is_eq | ((x > lo + eps) & (x < hi - eps))
+    at_lo = (~free) & (x <= lo + eps)
+    at_hi = (~free) & (~at_lo)
+
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)
+    M = jnp.where(free[:, None] & free[None, :], A, eye)
+    u = jnp.linalg.solve(M.T, jnp.where(free, g, 0.0))
+    u = jnp.where(free, u, 0.0)
+
+    gb = u
+    gA = -u[:, None] * x[None, :]
+    # clamped rows: dL/dbound = g_c - A[:,c]^T u  (direct + coupling terms)
+    gbound = g - A.T @ u
+    glo = jnp.where(at_lo, gbound, 0.0)
+    ghi = jnp.where(at_hi, gbound, 0.0)
+    return gA, gb, None, glo, ghi
+
+
+solve_lcp_implicit.defvjp(_sli_fwd, _sli_bwd)

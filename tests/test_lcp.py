@@ -165,3 +165,49 @@ def test_batched_solve(problems):
     for i in range(B):
         xo, _, _ = lcp_oracle.murty_principal_pivot(problems[i][0], problems[i][1])
         np.testing.assert_allclose(np.asarray(xs[i]), xo, atol=1e-5)
+
+
+def test_implicit_diff_matches_unrolled():
+    """Implicit-function-theorem gradients == unrolled-sweep gradients
+    at convergence (checked against each other and finite differences)."""
+    rng = np.random.default_rng(7)
+    n = 12
+    m = rng.uniform(-1, 1, (n, n))
+    A = jnp.asarray(m @ m.T + n * np.eye(n))
+    b0 = jnp.asarray(rng.uniform(-1, 1, n))
+    is_eq = jnp.asarray(rng.uniform(size=n) < 0.3)
+    lo = jnp.where(is_eq, 0.0, -0.5)
+    hi = jnp.where(is_eq, 0.0, 0.8)
+
+    def loss_unrolled(b):
+        x = lcp.solve_lcp(A, b, is_eq, lo, hi, iters=400, method="pgs")
+        return jnp.sum(x**3)
+
+    def loss_implicit(b):
+        x = lcp.solve_lcp_implicit(A, b, is_eq, lo, hi, 400, "pgs")
+        return jnp.sum(x**3)
+
+    g_un = jax.grad(loss_unrolled)(b0)
+    g_im = jax.grad(loss_implicit)(b0)
+    np.testing.assert_allclose(np.asarray(g_im), np.asarray(g_un), atol=1e-6)
+
+    # finite differences on a few coordinates
+    h = 1e-6
+    for i in [0, 3, 7]:
+        e = jnp.zeros(n).at[i].set(h)
+        fd = (float(loss_unrolled(b0 + e)) - float(loss_unrolled(b0 - e))) / (
+            2 * h
+        )
+        np.testing.assert_allclose(float(g_im[i]), fd, rtol=1e-4, atol=1e-6)
+
+    # gradient wrt bounds flows to clamped rows
+    def loss_hi(hh):
+        x = lcp.solve_lcp_implicit(A, b0, is_eq, lo, hh, 400, "pgs")
+        return jnp.sum(x**3)
+
+    ghi = jax.grad(loss_hi)(hi)
+    x = lcp.solve_lcp(A, b0, is_eq, lo, hi, iters=400)
+    clamped_hi = np.asarray((~np.asarray(is_eq)) & (np.asarray(x) >= np.asarray(hi) - 1e-8))
+    if clamped_hi.any():
+        assert np.abs(np.asarray(ghi)[clamped_hi]).max() > 0
+    assert np.abs(np.asarray(ghi)[~clamped_hi]).max() < 1e-10
