@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for contact Jacobian-block assembly + rhs.
+
+Third kernel of the hot path (after the narrowphase and the LCP solve):
+replaces the XLA `build_constraints` chain — contact-frame rotations
+(AlignVectors), cross matrices, per-slot block construction, and the
+ODE rhs — whose ~50 small batched ops cost ~3.5 ms/step at 4096
+scenarios.  Same batch-on-lanes layout as the narrowphase kernel
+(8x128 = 1024 scenarios per tile, per-contact loops statically
+unrolled).
+
+Scope: BOX-friction contact rows without joints (the benchmark scenes);
+other configurations use the XLA path.  Outputs are COMPACT row blocks
+(each contact row touches at most two bodies, so 12 columns instead of
+6n); the expansion to body columns is one one-hot einsum in XLA.
+
+Per contact k (rows 3k..3k+2), with Rcf = AlignVectors(normal, z)
+(ref eggshell/contact.cc:50-72):
+  slot0 (body b0): [-Rcf | +Rcf CrossMat(pos - p_b0)]
+  slot1 (body b1): [+Rcf | -Rcf CrossMat(pos - p_b1)]
+  rhs rows: -erp/dt^2 (0,0,-depth) - J . (u/dt + Minv F)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+
+
+def _quat_align_to_z(nx, ny, nz):
+    """Rotation matrix (9 lane-arrays, row-major) mapping n-hat -> z.
+
+    Branchless FromTwoVectors(n, z) with the antiparallel fallback of
+    ops/quaternion.align_vectors_mat (axis orthogonal to n via the least
+    |component| coordinate axis)."""
+    w = 1.0 + nz
+    # cross(n, z) = (ny, -nx, 0)
+    qx, qy, qz = ny, -nx, 0.0 * nx
+
+    # antiparallel fallback: 180 deg about normalize(cross(n, e_least))
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    # least |component| one-hot
+    lx = (ax <= ay) & (ax <= az)
+    ly = (~lx) & (ay <= az)
+    lz = (~lx) & (~ly)
+    ex = jnp.where(lx, 1.0, 0.0)
+    ey = jnp.where(ly, 1.0, 0.0)
+    ez = jnp.where(lz, 1.0, 0.0)
+    ox = ny * ez - nz * ey
+    oy = nz * ex - nx * ez
+    oz = nx * ey - ny * ex
+    onorm = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    safe = jnp.maximum(onorm, 1e-30)
+    anti = w < 1e-8
+    w_ = jnp.where(anti, 0.0, w)
+    qx = jnp.where(anti, ox / safe, qx)
+    qy = jnp.where(anti, oy / safe, qy)
+    qz = jnp.where(anti, oz / safe, qz)
+
+    qn = jnp.sqrt(w_ * w_ + qx * qx + qy * qy + qz * qz)
+    qn = jnp.maximum(qn, 1e-30)
+    w_, qx, qy, qz = w_ / qn, qx / qn, qy / qn, qz / qn
+
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = w_ * qx, w_ * qy, w_ * qz
+    return [
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    ]
+
+
+def _jassembly_kernel(
+    b0_ref, b1_ref, pos_ref, nrm_ref, dep_ref, act_ref,
+    p_ref, uhat_ref,
+    jc_ref, rhs_ref,
+    *, K, n, erp_dt2,
+):
+    # refs: b0/b1/dep/act (K, 8, 128); pos/nrm (3K, 8, 128);
+    # p (3n, 8, 128); uhat (6n, 8, 128)
+    # outputs: jc (K*3*12, 8, 128) rows-major; rhs (3K, 8, 128)
+    for k in range(K):
+        b0 = b0_ref[k]
+        b1 = b1_ref[k]
+        act = act_ref[k]
+        dep = dep_ref[k]
+        px, py, pz = pos_ref[3 * k], pos_ref[3 * k + 1], pos_ref[3 * k + 2]
+        nx, ny, nz = nrm_ref[3 * k], nrm_ref[3 * k + 1], nrm_ref[3 * k + 2]
+
+        R = _quat_align_to_z(nx, ny, nz)  # 9 lane arrays, row-major
+
+        act_f = jnp.where(act > 0.5, 1.0, 0.0)
+
+        def body_gather(bsel, comp_ref, ncomp, stride):
+            out = []
+            for c in range(stride):
+                acc = 0.0 * b0
+                for i in range(ncomp):
+                    acc = acc + jnp.where(
+                        bsel == float(i), comp_ref[stride * i + c], 0.0
+                    )
+                out.append(acc)
+            return out
+
+        # slot data: (p_b, uhat_b, sign, valid)
+        slots = []
+        for bsel, sgn in ((b0, -1.0), (b1, 1.0)):
+            valid = jnp.where((bsel >= -0.5) & (act > 0.5), 1.0, 0.0)
+            pb = body_gather(jnp.maximum(bsel, 0.0), p_ref, n, 3)
+            ub = body_gather(jnp.maximum(bsel, 0.0), uhat_ref, n, 6)
+            slots.append((pb, ub, sgn, valid))
+
+        # rhs accumulator rows (3,)
+        rhs_rows = [0.0 * b0, 0.0 * b0, -erp_dt2 * (-dep) * act_f]
+
+        for s, (pb, ub, sgn, valid) in enumerate(slots):
+            cx, cy, cz = px - pb[0], py - pb[1], pz - pb[2]
+            # CrossMat(c) row-major
+            C = [0.0 * cx, -cz, cy, cz, 0.0 * cx, -cx, -cy, cx, 0.0 * cx]
+            # ang = sign * R @ C ; lin = sign * R (slot0 sign=-1 ... note
+            # ref: slot0 lin = -R, ang = +R C0; slot1 lin = +R, ang = -R C1
+            for r in range(3):
+                lin = [sgn * R[3 * r + c] * valid for c in range(3)]
+                ang = []
+                for c in range(3):
+                    a = (
+                        R[3 * r + 0] * C[0 + c]
+                        + R[3 * r + 1] * C[3 + c]
+                        + R[3 * r + 2] * C[6 + c]
+                    )
+                    ang.append(-sgn * a * valid)
+                base = (3 * k + r) * 12 + 6 * s
+                for c in range(3):
+                    jc_ref[base + c] = lin[c]
+                    jc_ref[base + 3 + c] = ang[c]
+                # rhs contribution: - J_row . uhat_b
+                dot = 0.0 * b0
+                for c in range(3):
+                    dot = dot + lin[c] * ub[c] + ang[c] * ub[3 + c]
+                rhs_rows[r] = rhs_rows[r] - dot
+
+        for r in range(3):
+            rhs_ref[3 * k + r] = rhs_rows[r]
+
+
+def _pack(x, ncomp):
+    B = x.shape[0]
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    flat = x.reshape(B, ncomp)
+    if Bp != B:
+        flat = jnp.pad(flat, ((0, Bp - B), (0, 0)), mode="edge")
+    nt = Bp // TILE
+    return flat.reshape(nt, SUB, LANE, ncomp).transpose(0, 3, 1, 2), B, Bp, nt
+
+
+@functools.partial(jax.jit, static_argnames=("erp_dt2", "interpret"))
+def contact_jacobian_blocks(
+    b0, b1, position, normal, depth, active, p, uhat,
+    erp_dt2: float, interpret: bool = False,
+):
+    """Compact contact J blocks + rhs for a scenario batch.
+
+    b0/b1 (B, K) int; position/normal (B, K, 3); depth/active (B, K);
+    p (B, n, 3); uhat = u/dt + Minv F (B, n, 6).
+    Returns (Jc (B, 3K, 12), rhs (B, 3K)): columns 0:6 = slot0 (body b0)
+    [lin|ang], 6:12 = slot1."""
+    B, K = b0.shape
+    n = p.shape[1]
+    dtype = position.dtype
+
+    b0t, _, _, nt = _pack(b0.astype(dtype), K)
+    b1t, _, _, _ = _pack(b1.astype(dtype), K)
+    post, _, _, _ = _pack(position, 3 * K)
+    nrmt, _, _, _ = _pack(normal, 3 * K)
+    dept, _, _, _ = _pack(depth, K)
+    actt, _, _, _ = _pack(active.astype(dtype), K)
+    pt, _, _, _ = _pack(p, 3 * n)
+    ut, _, Bp, _ = _pack(uhat, 6 * n)
+
+    kernel = functools.partial(
+        _jassembly_kernel, K=K, n=n, erp_dt2=erp_dt2
+    )
+
+    def spec(c):
+        return pl.BlockSpec(
+            (None, c, SUB, LANE), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    jc, rhs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[spec(K), spec(K), spec(3 * K), spec(3 * K), spec(K),
+                  spec(K), spec(3 * n), spec(6 * n)],
+        out_specs=(spec(K * 36), spec(3 * K)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, K * 36, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nt, 3 * K, SUB, LANE), dtype),
+        ),
+        interpret=interpret,
+    )(b0t, b1t, post, nrmt, dept, actt, pt, ut)
+
+    def unpack(x, c):
+        return x.transpose(0, 2, 3, 1).reshape(Bp, c)[:B]
+
+    Jc = unpack(jc, K * 36).reshape(B, 3 * K, 12)
+    return Jc, unpack(rhs, 3 * K)
