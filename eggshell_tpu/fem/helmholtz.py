@@ -60,10 +60,12 @@ class FemConfig:
 # Element assembly (dense, JAX, differentiable in the vertex positions)
 
 
-def assemble_matrices(points, triangles, eps_tri, sigma_xx=None, sigma_yy=None):
-    """Global stiffness K (with anisotropic weights) and eps-weighted mass
-    M for P1 triangles, dense (N, N).  All jnp ops — differentiable and
-    jit-able.  (ref toolkit/femsolver.h triplet assembly :255-310.)"""
+def assemble_matrices(points, triangles, eps_tri, sigma_xx=None, sigma_yy=None,
+                      sigma_xy=None):
+    """Global stiffness K (with anisotropic weights incl. the sigma_xy
+    cross term, ref rama/shape.h:64-90) and eps-weighted mass M for P1
+    triangles, dense (N, N).  All jnp ops — differentiable and jit-able.
+    (ref toolkit/femsolver.h triplet assembly :255-310.)"""
     pts = points
     tri = triangles
     p0 = pts[tri[:, 0]]
@@ -83,6 +85,10 @@ def assemble_matrices(points, triangles, eps_tri, sigma_xx=None, sigma_yy=None):
         sx[:, None, None] * b[:, :, None] * b[:, None, :]
         + sy[:, None, None] * c[:, :, None] * c[:, None, :]
     ) / (4.0 * area)[:, None, None]
+    if sigma_xy is not None:
+        Ke = Ke + sigma_xy[:, None, None] * (
+            b[:, :, None] * c[:, None, :] + c[:, :, None] * b[:, None, :]
+        ) / (4.0 * area)[:, None, None]
     Me = (
         (jnp.ones((3, 3)) + jnp.eye(3))[None, :, :]
         * (area / 12.0)[:, None, None]
@@ -177,10 +183,29 @@ def solve_driven(
     eps = jnp.asarray(mesh.epsilon, dtype)
 
     K, M = assemble_matrices(
-        pts, tri, eps, jnp.asarray(mesh.sigma_xx), jnp.asarray(mesh.sigma_yy)
+        pts, tri, eps, jnp.asarray(mesh.sigma_xx), jnp.asarray(mesh.sigma_yy),
+        jnp.asarray(mesh.sigma_xy),
     )
-    A = K.astype(dtype) - (k0**2) * M.astype(dtype)
+    if config.type == "ES":
+        A = K.astype(dtype)        # Laplace: no wave term
+    else:
+        A = K.astype(dtype) - (k0**2) * M.astype(dtype)
     rhs = jnp.zeros((N,), dtype)
+
+    # volume excitation (painted source density, ref Material excitation
+    # rama/shape.h:64-90): \int s phi per triangle = s * area / 3 per node
+    exc = np.asarray(mesh.excitation)
+    if np.any(exc != 0):
+        p0n, p1n, p2n = (np.asarray(mesh.points)[mesh.triangles[:, i]]
+                         for i in range(3))
+        area_np = 0.5 * np.abs(
+            (p1n[:, 0] - p0n[:, 0]) * (p2n[:, 1] - p0n[:, 1])
+            - (p1n[:, 1] - p0n[:, 1]) * (p2n[:, 0] - p0n[:, 0])
+        )
+        contrib = (exc * area_np / 3.0)[:, None].repeat(3, 1).reshape(-1)
+        rhs = rhs.at[jnp.asarray(mesh.triangles.reshape(-1))].add(
+            jnp.asarray(contrib, dtype)
+        )
 
     ports = sorted(set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1]))
     port_info = {}
@@ -212,12 +237,25 @@ def solve_driven(
         rhs = rhs.at[node].add(1.0)
 
     # Dirichlet on PEC boundary (EZ / ES); EXY leaves walls natural.
+    # Fixed-potential conductors (edge_kind 3, ES problems: ref
+    # ELECTROSTATICS type + capacitor example) are inhomogeneous
+    # Dirichlet: lift with rhs -= A g.
     if config.type in ("EZ", "ES"):
         pec_nodes = np.unique(mesh.boundary_edges[mesh.edge_kind == 0])
         mask = jnp.zeros((N,), bool).at[jnp.asarray(pec_nodes)].set(True)
+        g = np.zeros(N)
+        pot = mesh.edge_kind == 3
+        if pot.any():
+            for e, v in zip(mesh.boundary_edges[pot], mesh.edge_value[pot]):
+                g[e[0]] = v
+                g[e[1]] = v
+            pot_nodes = np.unique(mesh.boundary_edges[pot])
+            mask = mask.at[jnp.asarray(pot_nodes)].set(True)
+        gj = jnp.asarray(g, dtype)
+        rhs = rhs - A @ gj
         A = jnp.where(mask[:, None] | mask[None, :], 0.0, A)
         A = A + jnp.diag(jnp.where(mask, 1.0, 0.0).astype(dtype))
-        rhs = jnp.where(mask, 0.0, rhs)
+        rhs = jnp.where(mask, gj, rhs)
 
     u = jnp.linalg.solve(A, rhs)
 

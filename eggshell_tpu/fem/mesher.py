@@ -30,12 +30,24 @@ class Mesh:
     points: np.ndarray          # (N, 2)
     triangles: np.ndarray       # (T, 3) int
     boundary_edges: np.ndarray  # (E, 2) int — edges on the boundary
-    # per boundary edge: kind 0 = PEC (default), 1 = port, 2 = ABC
+    # per boundary edge: kind 0 = PEC (default), 1 = port, 2 = ABC,
+    # 3 = fixed potential (electrostatics conductor)
     edge_kind: np.ndarray       # (E,)
     edge_port: np.ndarray       # (E,) port number (0 if none)
     epsilon: np.ndarray         # (T,) complex per-triangle permittivity
     sigma_xx: np.ndarray        # (T,)
     sigma_yy: np.ndarray        # (T,)
+    sigma_xy: np.ndarray = None  # (T,) anisotropy cross term
+    excitation: np.ndarray = None  # (T,) complex volume source density
+    edge_value: np.ndarray = None  # (E,) potential for edge_kind 3
+
+    def __post_init__(self):
+        if self.sigma_xy is None:
+            self.sigma_xy = np.zeros(len(self.triangles))
+        if self.excitation is None:
+            self.excitation = np.zeros(len(self.triangles), dtype=complex)
+        if self.edge_value is None:
+            self.edge_value = np.zeros(len(self.boundary_edges))
 
     @property
     def num_points(self) -> int:
@@ -171,6 +183,7 @@ def mesh_shape(
     # Resolve painted boundary attributes
     kind = np.zeros(len(bedges), dtype=int)
     port = np.zeros(len(bedges), dtype=int)
+    value = np.zeros(len(bedges))
     mids = 0.5 * (pts[bedges[:, 0]] + pts[bedges[:, 1]])
     for seg in shape.boundaries:
         p1 = np.asarray(seg.p1)
@@ -186,20 +199,27 @@ def mesh_shape(
             port[on] = seg.port_number
         elif seg.kind == "abc":
             kind[on] = 2
+        elif seg.kind == "potential":
+            kind[on] = 3
+            value[on] = seg.value
 
     # Per-triangle materials
     cent = pts[tri].mean(axis=1)
     eps = np.ones(len(tri), dtype=complex)
     sxx = np.ones(len(tri))
     syy = np.ones(len(tri))
+    sxy = np.zeros(len(tri))
+    exc = np.zeros(len(tri), dtype=complex)
     for mat in shape.materials:
         inside = mat.region.contains(cent)
         eps[inside] = mat.epsilon
         sxx[inside] = mat.sigma_xx
         syy[inside] = mat.sigma_yy
+        sxy[inside] = mat.sigma_xy
+        exc[inside] = mat.excitation
 
     return Mesh(
         points=pts, triangles=tri, boundary_edges=bedges,
-        edge_kind=kind, edge_port=port, epsilon=eps,
-        sigma_xx=sxx, sigma_yy=syy,
+        edge_kind=kind, edge_port=port, edge_value=value, epsilon=eps,
+        sigma_xx=sxx, sigma_yy=syy, sigma_xy=sxy, excitation=exc,
     )

@@ -129,9 +129,10 @@ class BoundarySegment:
 
     p1: Tuple[float, float]
     p2: Tuple[float, float]
-    kind: str            # "port" | "abc" | "pec" (default boundary is PEC)
+    kind: str   # "port" | "abc" | "potential" | "pec" (default is PEC)
     port_number: int = 0
     tol: float = 1e-6
+    value: float = 0.0   # fixed potential for kind == "potential"
 
 
 @dataclasses.dataclass
@@ -143,6 +144,8 @@ class MaterialRegion:
     epsilon: complex = 1.0
     sigma_xx: float = 1.0   # anisotropic weights for TE/TM-style problems
     sigma_yy: float = 1.0
+    sigma_xy: float = 0.0   # cross term (ref rama/shape.h:64-90 sigma_xy)
+    excitation: complex = 0.0  # volume source density (ref Material excitation)
 
 
 class Shape:
@@ -205,12 +208,26 @@ class Shape:
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self
 
+    def Potential(self, p1, p2, value: float, tol: float = 1e-6) -> "Shape":
+        """Fix the boundary segment p1-p2 at a given electrostatic
+        potential (conductor at `value` volts — the ES problem type's
+        boundary condition, ref rama/solver.h ELECTROSTATICS +
+        capacitor_electrostatics.lua example)."""
+        self.boundaries.append(
+            BoundarySegment(tuple(p1), tuple(p2), "potential", 0, tol,
+                            value=value)
+        )
+        self.fixed_points += [tuple(p1), tuple(p2)]
+        return self
+
     def Paint(self, region: "Shape", epsilon: complex = 1.0,
-              sigma_xx: float = 1.0, sigma_yy: float = 1.0) -> "Shape":
+              sigma_xx: float = 1.0, sigma_yy: float = 1.0,
+              sigma_xy: float = 0.0, excitation: complex = 0.0) -> "Shape":
         """Paint a material onto a sub-region (ref __Paint__,
         rama/user_script_util.lua:124-230)."""
         self.materials.append(
-            MaterialRegion(region, epsilon, sigma_xx, sigma_yy)
+            MaterialRegion(region, epsilon, sigma_xx, sigma_yy, sigma_xy,
+                           excitation)
         )
         return self
 

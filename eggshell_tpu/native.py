@@ -47,6 +47,16 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, dp, dp, dp, dp, dp, dp, ip, ctypes.c_int,
         ctypes.c_double,
     ]
+    lib.egg_solve_box_lcp_alg.restype = ctypes.c_int
+    lib.egg_solve_box_lcp_alg.argtypes = [
+        ctypes.c_int, dp, dp, dp, dp, dp, dp, ip, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int,
+    ]
+    lib.egg_solve_box_lcp_schur.restype = ctypes.c_int
+    lib.egg_solve_box_lcp_schur.argtypes = [
+        ctypes.c_int, dp, dp, dp, dp, dp, dp, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double,
+    ]
     lib.egg_solve_box_lcp_batch.restype = None
     lib.egg_solve_box_lcp_batch.argtypes = [
         ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp, dp, ip,
@@ -60,10 +70,15 @@ def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+_ALGORITHMS = {"murty": 0, "cottle_dantzig": 1}
+
+
 def solve_box_lcp(
-    A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10
+    A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10,
+    algorithm: str = "murty",
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
-    """Native principal-pivot box LCP.  Returns (x, w, converged)."""
+    """Native principal-pivot box LCP (ref toolkit/lcp.h:135-144 MURTY /
+    COTTLE_DANTZIG modes).  Returns (x, w, converged)."""
     lib = _load()
     A = np.ascontiguousarray(A, dtype=np.float64)
     n = A.shape[0]
@@ -74,11 +89,35 @@ def solve_box_lcp(
     x = np.zeros(n)
     w = np.zeros(n)
     side = np.zeros(n, dtype=np.int32)
-    ok = lib.egg_solve_box_lcp(
+    ok = lib.egg_solve_box_lcp_alg(
         n, _dp(A), _dp(b), _dp(lo), _dp(hi), _dp(x), _dp(w),
         side.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        max_iterations, tol,
+        max_iterations, tol, _ALGORITHMS[algorithm],
     )
+    return x, w, bool(ok)
+
+
+def solve_box_lcp_schur(
+    A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10,
+    algorithm: str = "murty",
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Schur-complement fast path: unbounded variables (lo=-inf, hi=+inf)
+    are eliminated exactly before pivoting (ref toolkit/lcp.h:157-159,
+    SolveLCP_BoxSchur test toolkit/lcp.cc:1078).  Returns (x, w, ok)."""
+    lib = _load()
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    n = A.shape[0]
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    lo = np.where(np.isinf(lo), -1e300, np.asarray(lo, float)).copy()
+    hi = np.where(np.isinf(hi), 1e300, np.asarray(hi, float)).copy()
+    x = np.zeros(n)
+    w = np.zeros(n)
+    ok = lib.egg_solve_box_lcp_schur(
+        n, _dp(A), _dp(b), _dp(lo), _dp(hi), _dp(x), _dp(w),
+        max_iterations, tol, _ALGORITHMS[algorithm], 1e250,
+    )
+    if ok < 0:
+        raise np.linalg.LinAlgError("singular unbounded block in Schur LCP")
     return x, w, bool(ok)
 
 

@@ -1,0 +1,48 @@
+"""Photonic nanojet — the rama photonic_nanojet.lua example, Python.
+
+A dielectric cylinder (painted eps) illuminated by a line source behind
+it, with absorbing outer walls; the field focuses into a subwavelength
+"nanojet" on the shadow side.  Demonstrates painted materials +
+ABC boundaries + field probing on the optical axis.
+
+Usage: python examples/photonic_nanojet.py [out_dir]
+"""
+
+import sys
+
+import numpy as np
+
+from eggshell_tpu.fem import Circle, Rectangle, mesh_shape
+from eggshell_tpu.fem.fields import get_field
+from eggshell_tpu.fem.helmholtz import FemConfig, solve_driven
+from eggshell_tpu.viz import draw_field
+
+
+def main(out_dir="."):
+    # domain in microns; f chosen so lambda0 = 1 um (k0 = 2 pi / um)
+    box = Rectangle(0, 0, 8.0, 6.0)
+    box.ABC((0, 0), (8, 0))
+    box.ABC((8, 0), (8, 6))
+    box.ABC((0, 6), (8, 6))
+    box.ABC((0, 0), (0, 6))
+    lens = Circle(3.0, 3.0, 1.2)
+    box.Paint(lens, epsilon=2.56)        # n = 1.6 cylinder
+    mesh = mesh_shape(box, 0.12)
+
+    cfg = FemConfig(type="EZ", frequency=299792458.0 / 1e-6, unit=1e-6,
+                    excited_port=0)
+    sol = solve_driven(mesh, cfg, point_source=(1.0, 3.0))
+
+    xs = np.linspace(4.2, 7.5, 60)
+    amps = np.abs(get_field(mesh, np.asarray(sol.field),
+                            np.stack([xs, np.full_like(xs, 3.0)], axis=1)))
+    i = int(np.nanargmax(amps))
+    print(f"nanojet peak |Ez| = {amps[i]:.4f} at x = {xs[i]:.2f} um "
+          f"(cylinder back face at 4.2)")
+    draw_field(mesh, np.abs(np.asarray(sol.field)),
+               f"{out_dir}/nanojet_field.png")
+    print(f"wrote {out_dir}/nanojet_field.png")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -109,28 +109,28 @@ struct Chol {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns 1 on success (KKT satisfied), 0 if the iteration limit hit.
-// side: work array (n) — -1 at lo, +1 at hi, 0 free (also returned).
-int egg_solve_box_lcp(
-    int n, const double* A, const double* b,
+double clamp0(double lo, double hi) {
+  // nearest feasible point to 0 (the reference assumes lo <= 0 <= hi,
+  // toolkit/lcp.h:114-132; clamp for safety)
+  if (lo > 0) return lo;
+  if (hi < 0) return hi;
+  return 0.0;
+}
+
+// Core principal-pivot loop over indices [0, limit).  Variables at
+// index >= limit are held at their current xv value and never pivoted.
+// Returns +1 converged, 0 iteration budget exhausted, and decrements
+// *iters_left as it spends iterations.
+int pivot_loop(
+    Chol& chol, int n, int limit, const double* b,
     const double* lo, const double* hi,
-    double* x, double* w, int* side,
-    int max_iterations, double tol) {
-  Chol chol;
-  chol.init(A, n);
-
-  // start with everything clamped at the nearer-to-zero bound
-  std::vector<double> xv(n), wv(n);
-  for (int i = 0; i < n; ++i) {
-    side[i] = (std::fabs(lo[i]) <= std::fabs(hi[i])) ? -1 : 1;
-    xv[i] = side[i] < 0 ? lo[i] : hi[i];
-  }
-
+    std::vector<double>& xv, std::vector<double>& wv, int* side,
+    int* iters_left, double tol) {
   std::vector<double> rhs;
-  for (int it = 0; it < max_iterations; ++it) {
-    // Solve for free variables given the clamped ones.
+  while ((*iters_left)-- > 0) {
+    // Solve for free variables given the clamped/held ones.
     int f = chol.size();
     rhs.assign(f, 0.0);
     for (int i = 0; i < f; ++i) {
@@ -153,7 +153,7 @@ int egg_solve_box_lcp(
 
     // First violation in index order (Murty rule, ref lcp.cc pivoting).
     int viol = -1, action = 0;
-    for (int i = 0; i < n; ++i) {
+    for (int i = 0; i < limit; ++i) {
       if (side[i] == 0) {
         if (xv[i] < lo[i] - tol) { viol = i; action = -1; break; }
         if (xv[i] > hi[i] + tol) { viol = i; action = +1; break; }
@@ -163,11 +163,7 @@ int egg_solve_box_lcp(
         viol = i; action = 0; break;
       }
     }
-    if (viol < 0) {
-      std::memcpy(x, xv.data(), n * sizeof(double));
-      for (int i = 0; i < n; ++i) w[i] = (side[i] == 0) ? 0.0 : wv[i];
-      return 1;
-    }
+    if (viol < 0) return 1;
     if (action == 0) {
       side[viol] = 0;
       if (!chol.add(viol)) {  // singular pivot: clamp back
@@ -180,9 +176,159 @@ int egg_solve_box_lcp(
       xv[viol] = action < 0 ? lo[viol] : hi[viol];
     }
   }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 1 on success (KKT satisfied), 0 if the iteration limit hit.
+// side: work array (n) — -1 at lo, +1 at hi, 0 free (also returned).
+// algorithm: 0 = MURTY (global principal pivoting), 1 = COTTLE_DANTZIG
+// (incremental variable introduction: variable k enters only after
+// variables [0, k) satisfy their conditions — the reference's second
+// mode, toolkit/lcp.h:135-144; the Cholesky factor is warm across the
+// incremental stages).
+int egg_solve_box_lcp_alg(
+    int n, const double* A, const double* b,
+    const double* lo, const double* hi,
+    double* x, double* w, int* side,
+    int max_iterations, double tol, int algorithm) {
+  Chol chol;
+  chol.init(A, n);
+
+  std::vector<double> xv(n), wv(n);
+  int iters_left = max_iterations;
+  int ok = 0;
+
+  // Introduce variable i: clamp to the bound nearer zero, except
+  // effectively-unbounded variables (|bound| huge), which start free —
+  // they are free at any solution, and snapping to a 1e300 bound would
+  // overflow the residual.
+  auto introduce = [&](int i) {
+    side[i] = (std::fabs(lo[i]) <= std::fabs(hi[i])) ? -1 : 1;
+    double bnd = side[i] < 0 ? lo[i] : hi[i];
+    if (std::fabs(bnd) > 1e150) {
+      xv[i] = 0.0;
+      if (chol.add(i)) side[i] = 0;
+    } else {
+      xv[i] = bnd;
+    }
+  };
+
+  if (algorithm == 1) {
+    // Cottle-Dantzig: hold unprocessed variables at the feasible point
+    // nearest zero; introduce one variable per stage, keeping the
+    // processed block at a solution throughout.
+    for (int i = 0; i < n; ++i) {
+      side[i] = (std::fabs(lo[i]) <= std::fabs(hi[i])) ? -1 : 1;
+      xv[i] = clamp0(lo[i], hi[i]);
+    }
+    ok = 1;
+    for (int k = 1; k <= n && ok; ++k) {
+      introduce(k - 1);
+      // stage k: indices [0, k) participate; xv[j >= k] stays at clamp0
+      ok = pivot_loop(chol, n, k, b, lo, hi, xv, wv, side, &iters_left,
+                      tol);
+    }
+  } else {
+    // Murty: start with everything clamped at the nearer-to-zero bound.
+    for (int i = 0; i < n; ++i) introduce(i);
+    ok = pivot_loop(chol, n, n, b, lo, hi, xv, wv, side, &iters_left, tol);
+  }
+
   std::memcpy(x, xv.data(), n * sizeof(double));
   for (int i = 0; i < n; ++i) w[i] = (side[i] == 0) ? 0.0 : wv[i];
-  return 0;
+  return ok;
+}
+
+int egg_solve_box_lcp(
+    int n, const double* A, const double* b,
+    const double* lo, const double* hi,
+    double* x, double* w, int* side,
+    int max_iterations, double tol) {
+  return egg_solve_box_lcp_alg(n, A, b, lo, hi, x, w, side,
+                               max_iterations, tol, /*algorithm=*/0);
+}
+
+// Schur-complement fast path for unbounded variables (ref
+// toolkit/lcp.h:157-159, test SolveLCP_BoxSchur lcp.cc:1078): variables
+// with lo <= -big_bound and hi >= +big_bound (equality rows) are
+// eliminated exactly; the box LCP runs only on the reduced system
+// S = A_bb - A_bu A_uu^-1 A_ub, then x_u back-substitutes.
+// Returns 1 on success, 0 on iteration limit, -1 if A_uu is singular.
+int egg_solve_box_lcp_schur(
+    int n, const double* A, const double* b,
+    const double* lo, const double* hi,
+    double* x, double* w,
+    int max_iterations, double tol, int algorithm, double big_bound) {
+  std::vector<int> U, B;
+  for (int i = 0; i < n; ++i) {
+    if (lo[i] <= -big_bound && hi[i] >= big_bound) U.push_back(i);
+    else B.push_back(i);
+  }
+  int nu = (int)U.size(), nb = (int)B.size();
+  if (nu == 0) {
+    std::vector<int> side(n);
+    return egg_solve_box_lcp_alg(n, A, b, lo, hi, x, w, side.data(),
+                                 max_iterations, tol, algorithm);
+  }
+
+  // Factor A_uu via the incremental Cholesky.
+  Chol chol;
+  chol.init(A, n);
+  for (int v : U) {
+    if (!chol.add(v)) return -1;
+  }
+
+  auto solve_uu = [&](std::vector<double>& rhs) { chol.solve(rhs); };
+
+  // Y = A_uu^-1 A_ub  (nu x nb), y0 = A_uu^-1 b_u
+  std::vector<double> Y((size_t)nu * nb), y0(nu), col(nu);
+  for (int j = 0; j < nb; ++j) {
+    for (int i = 0; i < nu; ++i) col[i] = A[(size_t)U[i] * n + B[j]];
+    solve_uu(col);
+    for (int i = 0; i < nu; ++i) Y[(size_t)i * nb + j] = col[i];
+  }
+  for (int i = 0; i < nu; ++i) y0[i] = b[U[i]];
+  solve_uu(y0);
+
+  // S = A_bb - A_bu Y;  bs = b_b - A_bu y0
+  std::vector<double> S((size_t)nb * nb), bs(nb), lob(nb), hib(nb);
+  for (int i = 0; i < nb; ++i) {
+    for (int j = 0; j < nb; ++j) {
+      double s = A[(size_t)B[i] * n + B[j]];
+      for (int k = 0; k < nu; ++k)
+        s -= A[(size_t)B[i] * n + U[k]] * Y[(size_t)k * nb + j];
+      S[(size_t)i * nb + j] = s;
+    }
+    double r = b[B[i]];
+    for (int k = 0; k < nu; ++k) r -= A[(size_t)B[i] * n + U[k]] * y0[k];
+    bs[i] = r;
+    lob[i] = lo[B[i]];
+    hib[i] = hi[B[i]];
+  }
+
+  std::vector<double> xb(nb), wb(nb);
+  std::vector<int> sideb(nb);
+  int ok = egg_solve_box_lcp_alg(nb, S.data(), bs.data(), lob.data(),
+                                 hib.data(), xb.data(), wb.data(),
+                                 sideb.data(), max_iterations, tol,
+                                 algorithm);
+
+  // x_u = A_uu^-1 (b_u - A_ub x_b) = y0 - Y x_b
+  for (int i = 0; i < nu; ++i) {
+    double s = y0[i];
+    for (int j = 0; j < nb; ++j) s -= Y[(size_t)i * nb + j] * xb[j];
+    x[U[i]] = s;
+    w[U[i]] = 0.0;
+  }
+  for (int j = 0; j < nb; ++j) {
+    x[B[j]] = xb[j];
+    w[B[j]] = wb[j];
+  }
+  return ok;
 }
 
 // Batched entry: solve `count` independent problems of size n

@@ -1,0 +1,199 @@
+"""Field probing / derived-quantity tests — the rama on-demand solution
+tier (_GetField, FindTriangle, gradients, Poynting, cutoff frequencies,
+wideband sweeps; ref rama/solver.h:185-243, rama/cavity_qt.cc:70-96)."""
+
+import numpy as np
+import pytest
+
+from eggshell_tpu.fem import fields
+from eggshell_tpu.fem.helmholtz import FemConfig, solve_driven, solve_modes
+from eggshell_tpu.fem.mesher import mesh_shape
+from eggshell_tpu.fem.shape import Rectangle
+
+
+@pytest.fixture(scope="module")
+def unit_square_mesh():
+    return mesh_shape(Rectangle(0, 0, 1, 1), edge_length=0.12, max_iters=40)
+
+
+def test_find_triangle_and_get_field_linear_exact(unit_square_mesh):
+    """P1 interpolation reproduces any linear function exactly at
+    arbitrary interior probe points (FindTriangle + _GetField)."""
+    mesh = unit_square_mesh
+    f = 2.0 * mesh.points[:, 0] - 3.0 * mesh.points[:, 1] + 0.5
+    rng = np.random.default_rng(0)
+    probes = rng.uniform(0.05, 0.95, size=(50, 2))
+    vals = fields.get_field(mesh, f, probes)
+    expect = 2.0 * probes[:, 0] - 3.0 * probes[:, 1] + 0.5
+    assert np.allclose(vals, expect, atol=1e-9)
+
+
+def test_get_field_outside_is_nan(unit_square_mesh):
+    vals = fields.get_field(unit_square_mesh, unit_square_mesh.points[:, 0],
+                            [[5.0, 5.0], [-3.0, 0.5]])
+    assert np.isnan(vals).all()
+
+
+def test_gradient_linear_exact(unit_square_mesh):
+    mesh = unit_square_mesh
+    f = 4.0 * mesh.points[:, 0] + 1.5 * mesh.points[:, 1]
+    g = fields.get_field_gradient(mesh, f, [[0.5, 0.5], [0.25, 0.7]])
+    assert np.allclose(g, [[4.0, 1.5], [4.0, 1.5]], atol=1e-9)
+
+
+def _structured_mesh(n=12):
+    """Regular right-triangle grid on the unit square (no mesher slivers
+    — isolates field-math tests from mesh quality)."""
+    from eggshell_tpu.fem.mesher import Mesh
+
+    xs = np.linspace(0, 1, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    tri = []
+    for i in range(n):
+        for j in range(n):
+            a = i * (n + 1) + j
+            b = a + (n + 1)
+            tri += [[a, b, a + 1], [b, b + 1, a + 1]]
+    tri = np.asarray(tri)
+    return Mesh(
+        points=pts, triangles=tri,
+        boundary_edges=np.zeros((0, 2), int),
+        edge_kind=np.zeros(0, int), edge_port=np.zeros(0, int),
+        epsilon=np.ones(len(tri), complex),
+        sigma_xx=np.ones(len(tri)), sigma_yy=np.ones(len(tri)),
+    )
+
+
+def test_poynting_plane_wave():
+    """In the engineering exp(+jwt) convention a +x-travelling wave is
+    u = exp(-j k x): unit flux in +x (structured mesh; O(h^2 k^2)
+    discretization error)."""
+    mesh = _structured_mesh(16)
+    k = 6.0
+    u = np.exp(-1j * k * mesh.points[:, 0])
+    S = fields.poynting(mesh, u, k)
+    assert np.allclose(S[:, 0], 1.0, atol=0.05)
+    assert np.allclose(S[:, 1], 0.0, atol=0.05)
+
+
+def test_poynting_port_outflow():
+    """Solver fields: power exits through port 2 with positive
+    x-directed flux near it (sign-convention integration check)."""
+    a, L = 0.02286, 0.04
+    wg = Rectangle(0, 0, L, a)
+    wg.Port((0, 0), (0, a), 1)
+    wg.Port((L, 0), (L, a), 2)
+    mesh = mesh_shape(wg, edge_length=0.004, max_iters=40)
+    sol = solve_driven(mesh, FemConfig(type="EZ", frequency=10e9,
+                                       excited_port=1))
+    S = fields.poynting(mesh, np.asarray(sol.field), sol.k0)
+    cent = mesh.points[mesh.triangles].mean(axis=1)
+    near_out = cent[:, 0] > 0.75 * L
+    assert np.median(S[near_out, 0]) > 0
+
+
+def test_mode_cutoff_frequencies_rectangle(unit_square_mesh):
+    """Cutoffs of a 1x1 PEC cavity: f_mn = c/2 sqrt(m^2 + n^2)."""
+    vals, _ = solve_modes(unit_square_mesh, num_modes=3)
+    f = fields.mode_cutoff_frequencies(vals, unit=1.0)
+    c = 299792458.0
+    expect = np.asarray([c / 2 * np.sqrt(2),          # TM11
+                         c / 2 * np.sqrt(5),          # TM21
+                         c / 2 * np.sqrt(5)])         # TM12
+    # P1 eigenvalues converge from above, O(h^2): ~3% at h=0.12
+    assert np.allclose(f, expect, rtol=0.05)
+    assert np.all(f >= expect * 0.999)
+
+
+def test_solve_sweep_matches_single_solves():
+    """The vmapped wideband sweep equals per-frequency solve_driven
+    (Solvers::Solve parity, rama/solver.h:315-366)."""
+    a = 0.02286  # WR-90 width, meters
+    L = 0.04
+    wg = Rectangle(0, 0, L, a)
+    wg.Port((0, 0), (0, a), 1)
+    wg.Port((L, 0), (L, a), 2)
+    mesh = mesh_shape(wg, edge_length=0.004, max_iters=40)
+    freqs = [9e9, 10e9, 11e9]
+    cfg = FemConfig(type="EZ", frequency=freqs[0], excited_port=1)
+
+    fields_sw, s_sw = fields.solve_sweep(mesh, cfg, freqs)
+    assert fields_sw.shape[0] == 3
+    for i, f in enumerate(freqs):
+        sol = solve_driven(mesh, FemConfig(type="EZ", frequency=f,
+                                           excited_port=1))
+        for p in (1, 2):
+            assert abs(s_sw[p][i] - sol.s_params[p]) < 2e-4, (f, p)
+
+
+def test_export_solution_roundtrip(tmp_path, unit_square_mesh):
+    from eggshell_tpu.utils.mat_file import load_mat
+
+    mesh = unit_square_mesh
+    f = mesh.points[:, 0] + 1j * mesh.points[:, 1]
+    path = str(tmp_path / "sol.mat")
+    fields.export_solution(path, mesh, f, note=np.asarray([1.0, 2.0]))
+    back = load_mat(path)
+    assert back["p"].shape == (2, mesh.num_points)
+    assert back["t"].shape == (3, mesh.num_triangles)
+    assert np.allclose(back["field"].ravel(), f)
+    assert np.allclose(back["note"].ravel(), [1.0, 2.0])
+
+
+def test_sigma_xy_cross_anisotropy_changes_stiffness():
+    """The sigma_xy cross term enters K (ref rama/shape.h:64-90): for the
+    rotated-anisotropy identity, a 45-degree rotation of a diagonal
+    tensor diag(s1, s2) gives sxx = syy = (s1+s2)/2, sxy = (s1-s2)/2."""
+    import jax.numpy as jnp
+
+    from eggshell_tpu.fem.helmholtz import assemble_matrices
+
+    pts = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    tri = jnp.asarray([[0, 1, 2]])
+    ones = jnp.ones(1)
+    K0, _ = assemble_matrices(pts, tri, ones, 2.0 * ones, 0.5 * ones,
+                              jnp.zeros(1))
+    Kx, _ = assemble_matrices(pts, tri, ones, 2.0 * ones, 0.5 * ones,
+                              0.75 * ones)
+    assert not np.allclose(np.asarray(K0), np.asarray(Kx))
+    # K stays symmetric with the cross term
+    assert np.allclose(np.asarray(Kx), np.asarray(Kx).T, atol=1e-12)
+    # energy of u = x + y under the 45-deg-rotated tensor equals the
+    # diagonal-tensor energy of the rotated field (invariance check):
+    # grad u = (1,1);  (1,1)^T S (1,1) = sxx + syy + 2 sxy = 4.0
+    u = np.asarray(pts[:, 0] + pts[:, 1])
+    e = u @ np.asarray(Kx) @ u
+    assert np.isclose(e, 0.5 * (2.0 + 0.5 + 2 * 0.75), rtol=1e-9)
+
+
+def test_volume_excitation_radiates():
+    """A painted volume source (Material excitation analog) drives a
+    nonzero field in a lossy cavity."""
+    box = Rectangle(0, 0, 1, 1)
+    src = Rectangle(0.45, 0.45, 0.55, 0.55)
+    box.Paint(src, epsilon=1.0, excitation=1.0)
+    mesh = mesh_shape(box, edge_length=0.1, max_iters=30)
+    assert np.any(mesh.excitation != 0)
+    cfg = FemConfig(type="EZ", frequency=2e8, excited_port=0)
+    sol = solve_driven(mesh, cfg)
+    assert np.max(np.abs(np.asarray(sol.field))) > 1e-6
+
+
+def test_electrostatics_potential_boundary():
+    """ES problem with fixed-potential conductors (ref ELECTROSTATICS +
+    capacitor example): two full-width plates at 0 V and 1 V give the
+    linear 1D solution phi = y/d between them."""
+    from eggshell_tpu.fem.shape import Rectangle as R
+
+    # wide domain so the grounded side walls barely perturb the centre
+    box = R(0, 0, 4, 1)
+    box.Potential((0, 0), (4, 0), 0.0)    # bottom plate at ground
+    box.Potential((0, 1), (4, 1), 1.0)    # top plate at 1 V
+    mesh = mesh_shape(box, 0.1, max_iters=30)
+
+    sol = solve_driven(mesh, FemConfig(type="ES"))
+    phi = np.real(np.asarray(sol.field))
+    ys = np.linspace(0.1, 0.9, 9)
+    vals = fields.get_field(mesh, phi, np.stack([np.full(9, 2.0), ys], 1))
+    assert np.allclose(vals, ys, atol=0.03)

@@ -70,3 +70,43 @@ def test_native_batch():
         assert lcp_oracle.check_lcp_solution(
             A[k], b[k], x[k], w[k], np.zeros(n, bool), lo[k], hi[k], 1e-7
         )
+
+
+def test_cottle_dantzig_kkt_and_matches_murty():
+    """COTTLE_DANTZIG mode (ref toolkit/lcp.h:135-144): KKT-valid and —
+    for SPD systems, whose box-LCP solution is the unique QP minimiser —
+    identical to MURTY."""
+    rng = np.random.default_rng(3)
+    n = 25
+    for _ in range(25):
+        A = gen_spd(rng, n)
+        b = rng.uniform(-3, 3, n)
+        lo = np.where(rng.random(n) < 0.3, -np.inf, -rng.random(n))
+        hi = np.where(rng.random(n) < 0.3, np.inf, rng.random(n))
+        xm, wm, okm = native.solve_box_lcp(A, b, lo, hi, algorithm="murty")
+        xc, wc, okc = native.solve_box_lcp(
+            A, b, lo, hi, algorithm="cottle_dantzig"
+        )
+        assert okm and okc
+        np.testing.assert_allclose(xc, xm, atol=1e-7)
+
+
+def test_schur_fast_path_matches_full_solve():
+    """Unbounded-variable elimination (ref toolkit/lcp.h:157-159,
+    SolveLCP_BoxSchur lcp.cc:1078) returns the same solution as the full
+    pivot solve."""
+    rng = np.random.default_rng(4)
+    n = 30
+    for _ in range(20):
+        A = gen_spd(rng, n)
+        b = rng.uniform(-3, 3, n)
+        lo = np.where(rng.random(n) < 0.4, -np.inf, -rng.random(n))
+        hi = np.where(np.isinf(lo), np.inf,
+                      rng.random(n))  # unbounded rows are two-sided
+        xs, ws, oks = native.solve_box_lcp_schur(A, b, lo, hi)
+        xf, wf, okf = native.solve_box_lcp(A, b, lo, hi)
+        assert oks and okf
+        np.testing.assert_allclose(xs, xf, atol=1e-6)
+        # unbounded rows behave as equalities: w = 0 there
+        unb = np.isinf(lo)
+        np.testing.assert_allclose(ws[unb], 0.0, atol=1e-12)
