@@ -200,11 +200,22 @@ def solve_sweep(mesh: Mesh, config, frequencies: Sequence[float]):
     tri = jnp.asarray(mesh.triangles)
     N = mesh.num_points
     eps = jnp.asarray(mesh.epsilon, dtype)
-    K, M = assemble_matrices(
-        pts, tri, eps, jnp.asarray(mesh.sigma_xx), jnp.asarray(mesh.sigma_yy)
-    )
+    if config.type == "EXY":
+        inv_eps = 1.0 / eps     # TE: eps weights the stiffness
+        K, M = assemble_matrices(
+            pts, tri, jnp.ones_like(eps),
+            jnp.asarray(mesh.sigma_xx) * inv_eps,
+            jnp.asarray(mesh.sigma_yy) * inv_eps,
+            jnp.asarray(mesh.sigma_xy) * inv_eps,
+        )
+    else:
+        K, M = assemble_matrices(
+            pts, tri, eps, jnp.asarray(mesh.sigma_xx),
+            jnp.asarray(mesh.sigma_yy), jnp.asarray(mesh.sigma_xy),
+        )
     K = K.astype(dtype)
     M = M.astype(dtype)
+    mode_m = 0 if config.type == "EXY" else 1
 
     c = 299792458.0
     k0s = jnp.asarray(
@@ -215,7 +226,7 @@ def solve_sweep(mesh: Mesh, config, frequencies: Sequence[float]):
     port_static = {}
     for p in ports:
         nodes, t, width, _ = port_frame(mesh, p)
-        mode = np.sin(np.pi * t / width)
+        mode = np.ones_like(t) if mode_m == 0 else np.sin(np.pi * t / width)
         B = _boundary_mass(pts, mesh.port_edges(p), N, dtype)
         minc = (
             jnp.zeros((N,), dtype)
@@ -240,7 +251,7 @@ def solve_sweep(mesh: Mesh, config, frequencies: Sequence[float]):
         A = K - (k0**2) * M
         rhs = jnp.zeros((N,), dtype)
         for p, (nodes, w, width, B, minc, mode) in port_static.items():
-            beta = port_beta(k0**2, width)
+            beta = (k0 + 0j) if mode_m == 0 else port_beta(k0**2, width)
             A = A + 1j * beta * B
             if p == config.excited_port:
                 rhs = rhs + 2j * beta * (B @ minc)

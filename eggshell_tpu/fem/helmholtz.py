@@ -182,10 +182,22 @@ def solve_driven(
     k0 = config.k0
     eps = jnp.asarray(mesh.epsilon, dtype)
 
-    K, M = assemble_matrices(
-        pts, tri, eps, jnp.asarray(mesh.sigma_xx), jnp.asarray(mesh.sigma_yy),
-        jnp.asarray(mesh.sigma_xy),
-    )
+    if config.type == "EXY":
+        # TE polarisation (scalar Hz): div((1/eps) grad Hz) + k^2 Hz = 0 —
+        # the permittivity weights the STIFFNESS, mass is unweighted
+        # (ref rama/solver.cc Exy problem assembly).
+        inv_eps = 1.0 / eps
+        K, M = assemble_matrices(
+            pts, tri, jnp.ones_like(eps),
+            jnp.asarray(mesh.sigma_xx) * inv_eps,
+            jnp.asarray(mesh.sigma_yy) * inv_eps,
+            jnp.asarray(mesh.sigma_xy) * inv_eps,
+        )
+    else:
+        K, M = assemble_matrices(
+            pts, tri, eps, jnp.asarray(mesh.sigma_xx),
+            jnp.asarray(mesh.sigma_yy), jnp.asarray(mesh.sigma_xy),
+        )
     if config.type == "ES":
         A = K.astype(dtype)        # Laplace: no wave term
     else:
@@ -209,10 +221,18 @@ def solve_driven(
 
     ports = sorted(set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1]))
     port_info = {}
+    # Port modes: EZ carries the TM1 sin mode on PEC-walled ports; EXY
+    # carries the TE0/TEM uniform mode (cos with m=0), beta = k
+    # (ref rama/solver.cc port handling for the two polarisations).
+    mode_m = 0 if config.type == "EXY" else 1
     for p in ports:
         nodes, t, width, _ = port_frame(mesh, p)
-        beta = port_beta(k0**2, width)   # vacuum at ports (matched)
-        mode = np.sin(np.pi * t / width)
+        if mode_m == 0:
+            beta = jnp.asarray(k0 + 0j)
+            mode = np.ones_like(t)
+        else:
+            beta = port_beta(k0**2, width)   # vacuum at ports (matched)
+            mode = np.sin(np.pi * t / width)
         pe = mesh.port_edges(p)
         B = _boundary_mass(pts, pe, N, dtype)
         A = A + 1j * beta * B

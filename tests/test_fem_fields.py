@@ -197,3 +197,34 @@ def test_electrostatics_potential_boundary():
     ys = np.linspace(0.1, 0.9, 9)
     vals = fields.get_field(mesh, phi, np.stack([np.full(9, 2.0), ys], 1))
     assert np.allclose(vals, ys, atol=0.03)
+
+
+def test_exy_dielectric_slab_fresnel():
+    """TE (Hz) polarisation with a dielectric slab: the permittivity
+    weights the stiffness (div((1/eps) grad Hz) + k^2 Hz = 0) and the
+    TEM m=0 port mode applies.  |S11| must match the analytic
+    normal-incidence slab reflection r12 (1 - e^{2i beta d}) /
+    (1 - r12^2 e^{2i beta d}) with n = 2."""
+    L, a = 1.2, 0.3
+    d = 0.25                      # slab thickness
+    n_idx = 2.0                   # eps = 4
+    wg = Rectangle(0, 0, L, a)
+    wg.Port((0, 0), (0, a), 1)
+    wg.Port((L, 0), (L, a), 2)
+    slab = Rectangle(0.5, -0.1, 0.5 + d, a + 0.1)
+    wg.Paint(slab, epsilon=n_idx**2)
+    mesh = mesh_shape(wg, edge_length=0.03, max_iters=40)
+
+    k0 = 5.0
+    c = 299792458.0
+    sol = solve_driven(
+        mesh,
+        FemConfig(type="EXY", frequency=k0 * c / (2 * np.pi), excited_port=1),
+    )
+    r12 = (1 - n_idx) / (1 + n_idx)
+    ph = np.exp(2j * n_idx * k0 * d)
+    r_analytic = r12 * (1 - ph) / (1 - r12**2 * ph)
+    t_analytic2 = 1 - abs(r_analytic) ** 2
+    assert abs(abs(sol.s_params[1]) - abs(r_analytic)) < 0.03, (
+        sol.s_params[1], r_analytic)
+    assert abs(sol.port_power[2] - t_analytic2) < 0.05
