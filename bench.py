@@ -33,9 +33,10 @@ def main():
     dtype = jnp.float32
     cfg = SimConfig(
         solver=SolverKind.JACOBI_KERNEL,
-        solver_iters=50,
+        solver_iters=22,
         solver_tol=0.0,
         jacobi_omega=0.3,
+        jacobi_beta=0.45,
         conditional_cfm=False,
         cfm_always=0.01,
         contact_capacity=20,

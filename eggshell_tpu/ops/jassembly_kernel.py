@@ -160,17 +160,22 @@ def _pack(x, ncomp):
     return flat.reshape(nt, SUB, LANE, ncomp).transpose(0, 3, 1, 2), B, Bp, nt
 
 
-@functools.partial(jax.jit, static_argnames=("erp_dt2", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("erp_dt2", "interpret", "also_packed")
+)
 def contact_jacobian_blocks(
     b0, b1, position, normal, depth, active, p, uhat,
-    erp_dt2: float, interpret: bool = False,
+    erp_dt2: float, interpret: bool = False, also_packed: bool = False,
 ):
     """Compact contact J blocks + rhs for a scenario batch.
 
     b0/b1 (B, K) int; position/normal (B, K, 3); depth/active (B, K);
     p (B, n, 3); uhat = u/dt + Minv F (B, n, 6).
     Returns (Jc (B, 3K, 12), rhs (B, 3K)): columns 0:6 = slot0 (body b0)
-    [lin|ang], 6:12 = slot1."""
+    [lin|ang], 6:12 = slot1.  With `also_packed`, additionally returns
+    the raw (nt, K*36, 8, 128) tile-layout Jc so downstream kernels
+    (ops/integrate_kernel) can consume it without an unpack/repack
+    round-trip."""
     B, K = b0.shape
     n = p.shape[1]
     dtype = position.dtype
@@ -211,4 +216,6 @@ def contact_jacobian_blocks(
         return x.transpose(0, 2, 3, 1).reshape(Bp, c)[:B]
 
     Jc = unpack(jc, K * 36).reshape(B, 3 * K, 12)
+    if also_packed:
+        return Jc, unpack(rhs, 3 * K), jc
     return Jc, unpack(rhs, 3 * K)

@@ -191,10 +191,10 @@ def _pre_solve_batched_kernel(spec, states, cfg, css, ext_forces):
     )
 
     interpret = jax.default_backend() != "tpu"
-    Jc, rhs = contact_jacobian_blocks(
+    Jc, rhs, jc_packed = contact_jacobian_blocks(
         css.b0, css.b1, css.position, css.normal, css.depth, css.active,
         states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
-        interpret=interpret,
+        interpret=interpret, also_packed=True,
     )
 
     # expand compact slots to body columns (one one-hot einsum per slot)
@@ -231,7 +231,7 @@ def _pre_solve_batched_kernel(spec, states, cfg, css, ext_forces):
         couple=jnp.full((B, m), -1, jnp.int32),
     )
     rhs = jnp.where(row_active, rhs, 0.0)
-    return sys, A, rhs, u, Minv, F
+    return sys, A, rhs, u, Minv, F, (Jc, jc_packed)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -258,20 +258,25 @@ def step_ode_batched(
         and not cfg.conditional_cfm
     )
     if use_fused_pre:
-        sys, A, rhs, u, Minv, F = _pre_solve_batched_kernel(
+        sys, A, rhs, u, Minv, F, jc_pair = _pre_solve_batched_kernel(
             spec, states, cfg, css, ext_forces
         )
+        Jc, jc_packed = jc_pair
+        from eggshell_tpu.ops.integrate_kernel import integrate_step
         from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_pallas
 
         interpret = jax.default_backend() != "tpu"
         lam = solve_lcp_jacobi_pallas(
             A, rhs, sys.is_eq, sys.lo, sys.hi,
             iters=cfg.solver_iters, omega=cfg.jacobi_omega,
-            interpret=interpret,
+            interpret=interpret, beta=cfg.jacobi_beta,
         )
-        return jax.vmap(
-            lambda st, s, l, uu, mi, ff: _post_solve(st, cfg, s, l, uu, mi, ff)
-        )(states, sys, lam, u, Minv, F)
+        pn, qn, vn, wn = integrate_step(
+            Jc, lam, css.b0, css.b1, states.p, states.q, states.v,
+            states.w, Minv, F, dt=float(cfg.dt), interpret=interpret,
+            jc_packed=jc_packed,
+        )
+        return State(p=pn, v=vn, q=qn, w=wn)
 
     in_axes = (0, 0, 0 if ext_forces is not None else None)
 
@@ -305,7 +310,7 @@ def step_ode_batched(
         lam = solve_lcp_jacobi_pallas(
             A, rhs, sys.is_eq, sys.lo, sys.hi,
             iters=cfg.solver_iters, omega=cfg.jacobi_omega,
-            interpret=interpret,
+            interpret=interpret, beta=cfg.jacobi_beta,
         )
     else:
         solve_cfg = cfg
