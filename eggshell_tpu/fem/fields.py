@@ -295,3 +295,23 @@ def export_solution(path: str, mesh: Mesh, field=None, **extra) -> None:
             mf.write("field", np.asarray(field))
         for k, v in extra.items():
             mf.write(k, np.asarray(v))
+
+
+def wideband_pulse(fields, frequencies, times, spectrum=None):
+    """Combine per-frequency solutions into time-domain field frames —
+    the Solvers wideband field combination (ref rama/solver.h:315-366).
+
+    fields (F, N) complex phasors (engineering exp(+j w t) convention),
+    frequencies (F,) Hz, times (T,) seconds; `spectrum` (F,) optional
+    weights (default: Hann window over the band, a smooth pulse).
+    Returns real frames (T, N): u(t) = Re sum_f s_f field_f exp(j w_f t).
+    """
+    fields = np.asarray(fields)
+    f = np.asarray(frequencies, float)
+    t = np.asarray(times, float)
+    if spectrum is None:
+        x = np.linspace(0, np.pi, len(f))
+        spectrum = np.sin(x) ** 2 if len(f) > 1 else np.ones(1)
+    s = np.asarray(spectrum, complex)
+    phase = np.exp(2j * np.pi * f[None, :] * t[:, None])     # (T, F)
+    return np.real(np.einsum("tf,f,fn->tn", phase, s, fields))

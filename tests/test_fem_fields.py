@@ -228,3 +228,33 @@ def test_exy_dielectric_slab_fresnel():
     assert abs(abs(sol.s_params[1]) - abs(r_analytic)) < 0.03, (
         sol.s_params[1], r_analytic)
     assert abs(sol.port_power[2] - t_analytic2) < 0.05
+
+
+def test_wideband_pulse_single_frequency_oscillates():
+    """One frequency: the pulse frames are Re(u e^{jwt}) — amplitude
+    envelope |u| and period 1/f."""
+    N = 5
+    u = (np.arange(N) + 1.0) * np.exp(1j * 0.3)
+    f = 2.0e9
+    times = np.asarray([0.0, 0.25 / f, 0.5 / f])
+    frames = fields.wideband_pulse(u[None, :], [f], times)
+    assert frames.shape == (3, N)
+    np.testing.assert_allclose(frames[0], np.real(u), atol=1e-9)
+    np.testing.assert_allclose(frames[2], -np.real(u), atol=1e-7)
+    # quarter period: Re(j u) = -Im(u)
+    np.testing.assert_allclose(frames[1], -np.imag(u), atol=1e-7)
+
+
+def test_wideband_pulse_band_is_localized():
+    """A Hann-weighted band of plane waves on a line forms a travelling
+    wave packet: energy localizes and moves with time."""
+    c = 299792458.0
+    xs = np.linspace(0, 3.0, 400)
+    freqs = np.linspace(0.8e9, 1.2e9, 21)
+    flds = np.stack([np.exp(-2j * np.pi * f / c * xs) for f in freqs])
+    t0, t1 = 3e-9, 6e-9
+    frames = fields.wideband_pulse(flds, freqs, [t0, t1])
+    x_peak0 = xs[np.argmax(np.abs(frames[0]))]
+    x_peak1 = xs[np.argmax(np.abs(frames[1]))]
+    # packet moves ~c*(t1-t0) = 0.9 m
+    assert abs((x_peak1 - x_peak0) - c * (t1 - t0)) < 0.1
