@@ -116,7 +116,7 @@ def _pack(x, ncomp):
 @functools.partial(jax.jit, static_argnames=("dt", "interpret"))
 def integrate_step(
     Jc, lam, b0, b1, p, q, v, w, Minv, F, dt: float,
-    interpret: bool = False, jc_packed=None,
+    interpret: bool = False, jc_packed=None, lam_packed=None,
 ):
     """Fused post-solve integration over a scenario batch.
 
@@ -135,7 +135,10 @@ def integrate_step(
         assert nt * TILE >= B and jct.shape[1] == K * 36
     else:
         jct, _, _, nt = _pack(Jc, K * 36)
-    lamt, _, _, _ = _pack(lam, 3 * K)
+    if lam_packed is not None:
+        lamt = lam_packed[:, :3 * K]   # drop LCP padding rows
+    else:
+        lamt, _, _, _ = _pack(lam, 3 * K)
     b0t, _, _, _ = _pack(b0.astype(dtype), K)
     b1t, _, _, _ = _pack(b1.astype(dtype), K)
     pt, _, _, _ = _pack(p, 3 * n)

@@ -217,5 +217,8 @@ def contact_jacobian_blocks(
 
     Jc = unpack(jc, K * 36).reshape(B, 3 * K, 12)
     if also_packed:
-        return Jc, unpack(rhs, 3 * K), jc
+        packed = {
+            "jc": jc, "rhs": rhs, "b0": b0t, "b1": b1t, "act": actt,
+        }
+        return Jc, unpack(rhs, 3 * K), packed
     return Jc, unpack(rhs, 3 * K)

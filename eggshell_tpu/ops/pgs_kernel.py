@@ -161,6 +161,112 @@ def _block_jacobi_kernel(A_ref, b_ref, diag_ref, eq_ref, lo_ref, hi_ref,
     x_ref[:] = jax.lax.fori_loop(0, iters, sweep, proj(b))
 
 
+def _jacobi_packed_kernel(a_ref, b_ref, act_ref, x_ref,
+                          *, K, mp, mu, iters, omega, beta):
+    # Blocks for ONE sublane stripe (128 scenarios); leading (nt, sub)
+    # dims are squeezed: a (mp*mp, L), b (3K, L), act (K, L); out (mp, L).
+    L = LANES_PACKED
+    m3 = 3 * K
+    A = a_ref[:].reshape(mp, mp, L)
+    b3 = b_ref[:]
+    act = act_ref[:]
+
+    pad = mp - m3
+    zerosp = jnp.zeros((pad, L), b3.dtype)
+    b = jnp.concatenate([b3, zerosp], axis=0)
+    # float masks throughout (Mosaic dislikes bool vector relayouts)
+    act3 = jnp.broadcast_to(act[:, None, :], (K, 3, L)).reshape(m3, L)
+    active = jnp.concatenate([act3, zerosp], axis=0)
+    compi = jax.lax.broadcasted_iota(jnp.int32, (m3, L), 0)
+    tangential = jnp.where(compi % 3 < 2, 1.0, 0.0).astype(b.dtype)
+    lo3 = jnp.where(tangential > 0.5, -mu, 0.0).astype(b.dtype)
+    hi3 = jnp.where(tangential > 0.5, mu, 3.4e38).astype(b.dtype)
+    lo = jnp.concatenate([lo3, zerosp], axis=0)
+    hi = jnp.concatenate([hi3, zerosp], axis=0)
+
+    diag = jnp.concatenate(
+        [A[i, i, :][None] for i in range(mp)], axis=0
+    )
+    inv_diag = 1.0 / diag
+
+    def proj(x):
+        return jnp.where(active > 0.5, jnp.clip(x, lo, hi), x)
+
+    nb = mp // _ROW_BLOCK
+
+    def sweep(_, carry):
+        x, xp = carry
+        ax_rows = []
+        for ib in range(nb):
+            a_blk = A[ib * _ROW_BLOCK:(ib + 1) * _ROW_BLOCK]
+            ax_rows.append(jnp.sum(a_blk * x[None, :, :], axis=1))
+        ax = jnp.concatenate(ax_rows, axis=0)
+        r = b - ax + diag * x
+        xn = proj(
+            (1.0 - omega) * x + omega * r * inv_diag + beta * (x - xp)
+        )
+        return (xn, x)
+
+    x0 = proj(b)
+    x, _ = jax.lax.fori_loop(0, iters, sweep, (x0, x0))
+    x_ref[:] = x
+
+
+LANES_PACKED = 128
+_SUB = 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "mu", "iters", "omega", "beta", "interpret"),
+)
+def solve_lcp_jacobi_packed(
+    A_packed: jax.Array,     # (nt, 8, mp*mp, 128) from ops/amat_kernel
+    rhs_packed: jax.Array,   # (nt, 3K, 8, 128) jassembly layout
+    act_packed: jax.Array,   # (nt, K, 8, 128) jassembly layout
+    K: int,
+    mu: float,
+    iters: int = 22,
+    omega: float = 0.3,
+    beta: float = 0.45,
+    interpret: bool = False,
+) -> jax.Array:
+    """Momentum projected-Jacobi on the PACKED tile pipeline (contact
+    box-friction bounds built in-kernel from the active mask).  Returns
+    lambda in jassembly packed layout (nt, mp, 8, 128) — feed the first
+    3K rows to ops/integrate_kernel."""
+    nt = A_packed.shape[0]
+    dtype = A_packed.dtype
+    m3 = 3 * K
+    mp = ((m3 + _ROW_BLOCK - 1) // _ROW_BLOCK) * _ROW_BLOCK
+    assert A_packed.shape[2] == mp * mp
+
+    # small sublane-major views of the vectors (1MB-scale copies)
+    rhs_s = rhs_packed.transpose(0, 2, 1, 3)   # (nt, 8, 3K, 128)
+    act_s = act_packed.transpose(0, 2, 1, 3)   # (nt, 8, K, 128)
+
+    kernel = functools.partial(
+        _jacobi_packed_kernel, K=K, mp=mp, mu=mu, iters=iters, omega=omega,
+        beta=beta,
+    )
+
+    def spec(c):
+        return pl.BlockSpec(
+            (None, None, c, LANES_PACKED), lambda t, s: (t, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    x = pl.pallas_call(
+        kernel,
+        grid=(nt, _SUB),
+        in_specs=[spec(mp * mp), spec(m3), spec(K)],
+        out_specs=spec(mp),
+        out_shape=jax.ShapeDtypeStruct((nt, _SUB, mp, LANES_PACKED), dtype),
+        interpret=interpret,
+    )(A_packed, rhs_s, act_s)
+    return x.transpose(0, 2, 1, 3)             # back to (nt, mp, 8, 128)
+
+
 @functools.partial(
     jax.jit, static_argnames=("iters", "omega", "interpret", "block", "beta")
 )

@@ -191,11 +191,12 @@ def _pre_solve_batched_kernel(spec, states, cfg, css, ext_forces):
     )
 
     interpret = jax.default_backend() != "tpu"
-    Jc, rhs, jc_packed = contact_jacobian_blocks(
+    Jc, rhs, packed = contact_jacobian_blocks(
         css.b0, css.b1, css.position, css.normal, css.depth, css.active,
         states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
         interpret=interpret, also_packed=True,
     )
+    jc_packed = packed["jc"]
 
     # expand compact slots to body columns (one one-hot einsum per slot)
     ar = jnp.arange(n)
@@ -234,6 +235,71 @@ def _pre_solve_batched_kernel(spec, states, cfg, css, ext_forces):
     return sys, A, rhs, u, Minv, F, (Jc, jc_packed)
 
 
+def _fused_step_packed(spec, states, cfg, css, ext_forces):
+    """All-kernel batched step: narrowphase contacts (already in `css`)
+    -> J-assembly kernel -> A-formation kernel -> packed momentum-Jacobi
+    LCP -> integrate kernel.  The compact J blocks, system matrix, and
+    impulses all stay in the packed (8x128 scenarios) tile layout — no
+    XLA einsums or relayouts between kernels (SURVEY §2.8 item 3: the
+    whole contact solve is the kernel fast path)."""
+    from eggshell_tpu.ops.amat_kernel import contact_system_matrix_packed
+    from eggshell_tpu.ops.integrate_kernel import integrate_step
+    from eggshell_tpu.ops.jassembly_kernel import (
+        _pack,
+        contact_jacobian_blocks,
+    )
+    from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_packed
+
+    B = states.p.shape[0]
+    n = spec.num_bodies
+    K = css.b0.shape[1]
+    dtype = states.p.dtype
+    interpret = jax.default_backend() != "tpu"
+
+    def per_scene(state, ext):
+        u = scn.pack_velocity(state)
+        Minv = scn.inv_mass_blocks(spec, state)
+        F = scn.external_forces(spec, state, cfg.gravity)
+        if ext is not None:
+            F = F + ext
+        MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+        return u, Minv, F, u / cfg.dt + MinvF
+
+    in_axes = (0, 0 if ext_forces is not None else None)
+    u, Minv, F, uhat = jax.vmap(per_scene, in_axes=in_axes)(
+        states, ext_forces
+    )
+
+    _, _, packed = contact_jacobian_blocks(
+        css.b0, css.b1, css.position, css.normal, css.depth, css.active,
+        states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        interpret=interpret, also_packed=True,
+    )
+
+    inv_ig = Minv[:, :, 3:, 3:]                       # (B, n, 3, 3)
+    invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
+    invm_packed, _, _, _ = _pack(invm, n)
+    invig_packed, _, _, _ = _pack(inv_ig.reshape(B, 9 * n), 9 * n)
+
+    A_packed = contact_system_matrix_packed(
+        packed["jc"], packed["b0"], packed["b1"], packed["act"],
+        invm_packed, invig_packed, K=K, n=n,
+        cfm=float(cfg.cfm_always), interpret=interpret,
+    )
+    lam_packed = solve_lcp_jacobi_packed(
+        A_packed, packed["rhs"], packed["act"], K=K,
+        mu=float(cfg.friction_bound), iters=cfg.solver_iters,
+        omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
+        interpret=interpret,
+    )
+    pn, qn, vn, wn = integrate_step(
+        None, None, css.b0, css.b1, states.p, states.q, states.v,
+        states.w, Minv, F, dt=float(cfg.dt), interpret=interpret,
+        jc_packed=packed["jc"], lam_packed=lam_packed,
+    )
+    return State(p=pn, v=vn, q=qn, w=wn)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step_ode_batched(
     spec: SceneSpec,
@@ -258,25 +324,7 @@ def step_ode_batched(
         and not cfg.conditional_cfm
     )
     if use_fused_pre:
-        sys, A, rhs, u, Minv, F, jc_pair = _pre_solve_batched_kernel(
-            spec, states, cfg, css, ext_forces
-        )
-        Jc, jc_packed = jc_pair
-        from eggshell_tpu.ops.integrate_kernel import integrate_step
-        from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_pallas
-
-        interpret = jax.default_backend() != "tpu"
-        lam = solve_lcp_jacobi_pallas(
-            A, rhs, sys.is_eq, sys.lo, sys.hi,
-            iters=cfg.solver_iters, omega=cfg.jacobi_omega,
-            interpret=interpret, beta=cfg.jacobi_beta,
-        )
-        pn, qn, vn, wn = integrate_step(
-            Jc, lam, css.b0, css.b1, states.p, states.q, states.v,
-            states.w, Minv, F, dt=float(cfg.dt), interpret=interpret,
-            jc_packed=jc_packed,
-        )
-        return State(p=pn, v=vn, q=qn, w=wn)
+        return _fused_step_packed(spec, states, cfg, css, ext_forces)
 
     in_axes = (0, 0, 0 if ext_forces is not None else None)
 

@@ -120,3 +120,91 @@ def test_momentum_kernel_converges_faster():
     x_mom = solve_lcp_jacobi_pallas(A, b, eq, lo, hi, iters=30, omega=0.3,
                                     beta=0.45, interpret=True)
     assert resid(x_mom) < resid(x_plain), (resid(x_mom), resid(x_plain))
+
+
+def test_amat_kernel_matches_xla_system_matrix():
+    """The A-formation kernel reproduces the XLA J M^-1 J^T (+cfm)
+    on active rows, with decoupled unit rows elsewhere."""
+    import jax
+    import numpy as np
+
+    from eggshell_tpu.ops.amat_kernel import contact_system_matrix_packed
+    from eggshell_tpu.ops.jassembly_kernel import _pack
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.contacts import make_contacts_batched
+    from eggshell_tpu.physics.stepper import (
+        _pre_solve_batched_kernel,
+        step_ode_batched,
+    )
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    dtype = jnp.float32
+    cfg = SimConfig(solver=SolverKind.JACOBI_KERNEL, solver_iters=10,
+                    jacobi_omega=0.3, conditional_cfm=False,
+                    cfm_always=0.01, contact_capacity=12)
+    spec, state = scenes.box_stack(3, dtype=dtype)
+    B = 4
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+    )
+    states = states._replace(
+        p=states.p + jnp.linspace(0, 1e-3, B)[:, None, None].astype(dtype)
+    )
+    for _ in range(3):
+        states = step_ode_batched(spec, states, cfg)
+
+    css = make_contacts_batched(spec, states, cfg)
+    sys, A_ref, rhs, u, Minv, F, jp = _pre_solve_batched_kernel(
+        spec, states, cfg, css, None
+    )
+    packed = jp if isinstance(jp, dict) else None
+
+    # rebuild packed inputs
+    from eggshell_tpu.ops.jassembly_kernel import contact_jacobian_blocks
+
+    def per_scene(state):
+        import eggshell_tpu.physics.scene as scn
+
+        u = scn.pack_velocity(state)
+        Minv = scn.inv_mass_blocks(spec, state)
+        F = scn.external_forces(spec, state, cfg.gravity)
+        return u / cfg.dt + jnp.einsum("nij,nj->ni", Minv, F)
+
+    uhat = jax.vmap(per_scene)(states)
+    _, _, packed = contact_jacobian_blocks(
+        css.b0, css.b1, css.position, css.normal, css.depth, css.active,
+        states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        interpret=True, also_packed=True,
+    )
+    n = spec.num_bodies
+    K = cfg.contact_capacity
+    inv_ig = Minv[:, :, 3:, 3:]
+    invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
+    invm_p, _, _, _ = _pack(invm, n)
+    invig_p, _, _, _ = _pack(inv_ig.reshape(B, 9 * n), 9 * n)
+    Ap = contact_system_matrix_packed(
+        packed["jc"], packed["b0"], packed["b1"], packed["act"],
+        invm_p, invig_p, K=K, n=n, cfm=float(cfg.cfm_always),
+        interpret=True,
+    )
+    m = 3 * K
+    mp = ((m + 7) // 8) * 8
+    # unpack scenario b: tile 0, sub = b // 128, lane = b % 128;
+    # layout is (nt, sub, row*mp + col, lane)
+    A_kernel = np.asarray(Ap)[0].reshape(8, mp, mp, 128)
+    act = np.repeat(np.asarray(css.active), 3, axis=1)
+    for b in range(B):
+        Ak = A_kernel[b // 128, :, :, b % 128]
+        Ar = np.asarray(A_ref[b])
+        mask = act[b]
+        both = np.outer(mask, mask)
+        np.testing.assert_allclose(
+            Ak[:m, :m][both], Ar[both], rtol=2e-5, atol=2e-5
+        )
+        # inactive + padding rows: decoupled unit diagonal
+        for i in range(mp):
+            if i >= m or not mask[i]:
+                row = Ak[i].copy()
+                assert abs(row[i] - 1.0) < 1e-6
+                row[i] = 0
+                assert np.all(np.abs(row) < 1e-6)
