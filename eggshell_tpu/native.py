@@ -52,6 +52,11 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, dp, dp, dp, dp, dp, dp, ip, ctypes.c_int,
         ctypes.c_double, ctypes.c_int,
     ]
+    lib.egg_solve_box_lcp_stats.restype = ctypes.c_int
+    lib.egg_solve_box_lcp_stats.argtypes = [
+        ctypes.c_int, dp, dp, dp, dp, dp, dp, ip, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, dp, ip,
+    ]
     lib.egg_solve_box_lcp_schur.restype = ctypes.c_int
     lib.egg_solve_box_lcp_schur.argtypes = [
         ctypes.c_int, dp, dp, dp, dp, dp, dp, ctypes.c_int,
@@ -75,10 +80,15 @@ _ALGORITHMS = {"murty": 0, "cottle_dantzig": 1}
 
 def solve_box_lcp(
     A, b, lo, hi, max_iterations: int = 1000, tol: float = 1e-10,
-    algorithm: str = "murty",
-) -> Tuple[np.ndarray, np.ndarray, bool]:
+    algorithm: str = "murty", return_info: bool = False,
+):
     """Native principal-pivot box LCP (ref toolkit/lcp.h:135-144 MURTY /
-    COTTLE_DANTZIG modes).  Returns (x, w, converged)."""
+    COTTLE_DANTZIG modes).  Returns (x, w, converged); when the budget
+    is exhausted, (x, w) is the best-so-far iterate by KKT goodness (the
+    reference's fallback, eggshell/lcp.cc:107-137).  With
+    return_info=True the third element is a dict with the structured
+    failure record {converged, iterations, goodness, fallback_used}
+    (the lcp_debug.log analog, ref eggshell/lcp.cc:257-268)."""
     lib = _load()
     A = np.ascontiguousarray(A, dtype=np.float64)
     n = A.shape[0]
@@ -89,12 +99,23 @@ def solve_box_lcp(
     x = np.zeros(n)
     w = np.zeros(n)
     side = np.zeros(n, dtype=np.int32)
-    ok = lib.egg_solve_box_lcp_alg(
+    goodness = ctypes.c_double(0.0)
+    iters = ctypes.c_int(0)
+    ok = lib.egg_solve_box_lcp_stats(
         n, _dp(A), _dp(b), _dp(lo), _dp(hi), _dp(x), _dp(w),
         side.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         max_iterations, tol, _ALGORITHMS[algorithm],
+        ctypes.byref(goodness), ctypes.byref(iters),
     )
-    return x, w, bool(ok)
+    if not return_info:
+        return x, w, bool(ok)
+    info = {
+        "converged": bool(ok),
+        "iterations": int(iters.value),
+        "goodness": float(goodness.value),
+        "fallback_used": not bool(ok),
+    }
+    return x, w, info
 
 
 def solve_box_lcp_schur(

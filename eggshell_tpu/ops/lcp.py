@@ -131,7 +131,10 @@ def _jacobi_sweep(A, b, x, is_eq, lo, hi, omega=1.0, couple=None, mu=0.0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "method", "check_tol", "omega", "jacobi_omega"),
+    static_argnames=(
+        "iters", "method", "check_tol", "omega", "jacobi_omega",
+        "jacobi_beta",
+    ),
 )
 def solve_lcp(
     A: jax.Array,
@@ -144,6 +147,7 @@ def solve_lcp(
     check_tol: Optional[float] = None,
     omega: float = 1.5,
     jacobi_omega: float = 1.0,
+    jacobi_beta: float = 0.0,
     x0: Optional[jax.Array] = None,
     couple: Optional[jax.Array] = None,
     mu: float = 0.0,
@@ -155,35 +159,63 @@ def solve_lcp(
     stop early once the complementarity residual drops below it (costs one
     residual evaluation per sweep, ref :128-140); with None, runs exactly
     `iters` sweeps (the TPU hot path — no data-dependent exit).
+
+    `jacobi_beta` adds heavy-ball momentum to the jacobi sweep:
+    x <- proj((1-w) x + w D^-1 r + beta (x - x_prev)) — the exact update
+    of the fused Pallas kernel (ops/pgs_kernel._jacobi_kernel), so the
+    bench solver configuration is reproducible on the XLA path for
+    oracle-parity gating.
     """
     x = b if x0 is None else x0
     x = project(x, is_eq, lo, hi)
 
     if method == "pgs":
-        sweep = lambda xx: _gs_sweep(A, b, xx, is_eq, lo, hi, couple, mu)
+        sweep = lambda xx, xp: (_gs_sweep(A, b, xx, is_eq, lo, hi, couple, mu), xx)
     elif method == "jacobi":
-        sweep = lambda xx: _jacobi_sweep(
-            A, b, xx, is_eq, lo, hi, jacobi_omega, couple, mu
-        )
+        if jacobi_beta:
+            # single projection around update+momentum, matching the
+            # kernel exactly (ops/pgs_kernel.py:75-78)
+            diag = jnp.diagonal(A)
+
+            def sweep(xx, xp):
+                r = b - A @ xx + diag * xx
+                lo_e, hi_e = _bounds(xx, lo, hi, couple, mu)
+                xn = project(
+                    (1.0 - jacobi_omega) * xx
+                    + jacobi_omega * (r / diag)
+                    + jacobi_beta * (xx - xp),
+                    is_eq, lo_e, hi_e,
+                )
+                return xn, xx
+        else:
+            sweep = lambda xx, xp: (
+                _jacobi_sweep(
+                    A, b, xx, is_eq, lo, hi, jacobi_omega, couple, mu
+                ),
+                xx,
+            )
     elif method == "sor":
-        sweep = lambda xx: _sor_sweep(A, b, xx, is_eq, lo, hi, omega)
+        sweep = lambda xx, xp: (_sor_sweep(A, b, xx, is_eq, lo, hi, omega), xx)
     else:
         raise ValueError(f"unknown method {method!r}")
 
     if check_tol is None:
-        return jax.lax.fori_loop(0, iters, lambda _, xx: sweep(xx), x)
+        x, _ = jax.lax.fori_loop(
+            0, iters, lambda _, c: sweep(*c), (x, x)
+        )
+        return x
 
     def cond(carry):
-        i, xx, err = carry
+        i, xx, xp, err = carry
         return (i < iters) & (err > check_tol)
 
     def body(carry):
-        i, xx, _ = carry
-        xx = sweep(xx)
-        return i + 1, xx, residual_error(A, b, xx, is_eq, lo, hi)
+        i, xx, xp, _ = carry
+        xx, xp = sweep(xx, xp)
+        return i + 1, xx, xp, residual_error(A, b, xx, is_eq, lo, hi)
 
-    _, x, _ = jax.lax.while_loop(
-        cond, body, (0, x, residual_error(A, b, x, is_eq, lo, hi))
+    _, x, _, _ = jax.lax.while_loop(
+        cond, body, (0, x, x, residual_error(A, b, x, is_eq, lo, hi))
     )
     return x
 

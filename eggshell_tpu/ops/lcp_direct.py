@@ -17,9 +17,41 @@ same fixed iteration count).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+class LcpInfo(NamedTuple):
+    """Solver-failure observability record (ref eggshell/lcp.cc:107-137
+    best-so-far "goodness" tracking + :233-268 failure diagnostics).
+
+    converged      exact complementarity solution found
+    iterations     pivots spent
+    goodness       total KKT violation of the RETURNED solution (0 when
+                   converged); the reference's sum-of-negative-parts
+    fallback_used  the returned x/w is the best-so-far iterate, not the
+                   final one (only possible when not converged)
+    """
+
+    converged: jax.Array
+    iterations: jax.Array
+    goodness: jax.Array
+    fallback_used: jax.Array
+
+
+def _goodness(x, w, S, side, lo, hi):
+    """Sum of KKT violation magnitudes (the reference's "goodness" —
+    lower is better, 0 = solved; eggshell/lcp.cc:107-137 sums the
+    negative parts of the complementarity conditions)."""
+    free_viol = jnp.where(S, jnp.maximum(lo - x, 0) + jnp.maximum(x - hi, 0), 0.0)
+    at_lo = (~S) & (side == lo)
+    at_hi = (~S) & (side == hi)
+    clamp_viol = jnp.where(at_lo, jnp.maximum(-w, 0), 0.0) + jnp.where(
+        at_hi, jnp.maximum(w, 0), 0.0
+    )
+    return jnp.sum(free_viol + clamp_viol)
 
 
 def _masked_solve(A, rhs, S):
@@ -32,13 +64,21 @@ def _masked_solve(A, rhs, S):
     return jnp.linalg.solve(M, jnp.where(S, rhs, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
-def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256):
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "return_info")
+)
+def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256,
+                          return_info: bool = False):
     """Box-LCP principal pivoting (semantics of eggshell/lcp.cc:157-274).
 
     One offending index is flipped per pivot, scanning rows in order and
     taking the first violation — matching the reference's update rule
-    (CheckMurtySolution, lcp.cc:36-62).  Returns (x, w, converged).
+    (CheckMurtySolution, lcp.cc:36-62).  Tracks the best-so-far iterate
+    by "goodness" and returns it on non-convergence (the reference's
+    fallback, lcp.cc:107-137, 233-268) instead of the last iterate.
+
+    Returns (x, w, converged); with return_info=True the third element
+    is an `LcpInfo` (converged, iterations, goodness, fallback_used).
     """
     n = b.shape[0]
     dtype = A.dtype
@@ -65,8 +105,16 @@ def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256):
         return idx, pin_lo, pin_hi
 
     def body(carry):
-        S, side, x, w, i, _ = carry
+        S, side, x, w, best, i, _ = carry
         x, w = compute_xw(S, side)
+        g = _goodness(x, w, S, side, lo, hi)
+        bx, bw, bg = best
+        better = g < bg
+        best = (
+            jnp.where(better, x, bx),
+            jnp.where(better, w, bw),
+            jnp.where(better, g, bg),
+        )
         idx, pin_lo, pin_hi = violation(S, side, x, w)
         done = idx >= n
         onehot = jnp.arange(n) == idx
@@ -76,28 +124,48 @@ def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256):
         )
         S = jnp.where(done, S, new_S)
         side = jnp.where(done, side, new_side)
-        return S, side, x, w, i + 1, done
+        return S, side, x, w, best, i + 1, done
 
     def cond(carry):
-        _, _, _, _, i, done = carry
+        _, _, _, _, _, i, done = carry
         return (~done) & (i < max_iterations)
 
     S0 = jnp.ones(n, dtype=bool)  # ref lcp.cc:176
     side0 = jnp.asarray(jnp.broadcast_to(lo, (n,)), dtype)
     x0 = jnp.zeros(n, dtype)
     w0 = -b
-    S, side, x, w, _, done = jax.lax.while_loop(
-        cond, body, (S0, side0, x0, w0, 0, jnp.asarray(False))
+    best0 = (x0, w0, jnp.asarray(jnp.inf, dtype))
+    S, side, x, w, best, iters, done = jax.lax.while_loop(
+        cond, body, (S0, side0, x0, w0, best0, 0, jnp.asarray(False))
     )
-    # final solve with the converged S (loop exits after flipping)
-    x, w = jax.lax.cond(
-        done, lambda: (x, w), lambda: compute_xw(S, side)
+    # Converged: the body's (x, w) is the certified solution.  Not
+    # converged: fall back to the best-so-far iterate by goodness
+    # (ref lcp.cc:233-268 — "use the best solution found so far").
+    bx, bw, bg = best
+    xf, wf = compute_xw(S, side)  # last iterate (if loop hit the cap)
+    gf = _goodness(xf, wf, S, side, lo, hi)
+    last_better = gf < bg
+    x_fb = jnp.where(last_better, xf, bx)
+    w_fb = jnp.where(last_better, wf, bw)
+    g_fb = jnp.where(last_better, gf, bg)
+    x = jnp.where(done, x, x_fb)
+    w = jnp.where(done, w, w_fb)
+    if not return_info:
+        return x, w, done
+    info = LcpInfo(
+        converged=done,
+        iterations=iters,
+        goodness=jnp.where(done, 0.0, g_fb),
+        fallback_used=~done,
     )
-    return x, w, done
+    return x, w, info
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
-def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = 256):
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "return_info")
+)
+def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = 256,
+                             return_info: bool = False):
     """Masked Schur-complement mixed solver (semantics of
     eggshell/lcp.cc:276-336) with fixed shapes.
 
@@ -131,7 +199,8 @@ def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = 256):
     lo_i = jnp.where(I, lo, -1.0)
     hi_i = jnp.where(I, hi, 1.0)
     x_i, w_i, ok = murty_principal_pivot(
-        schur, rhs, lo_i, hi_i, max_iterations=max_iterations
+        schur, rhs, lo_i, hi_i, max_iterations=max_iterations,
+        return_info=return_info,
     )
     x_i = jnp.where(I, x_i, 0.0)
 

@@ -140,6 +140,17 @@ def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig,
     return _dedupe(spec, state, cs, cfg)
 
 
+def count_dropped_contacts(spec: SceneSpec, state: State, cfg: SimConfig):
+    """Number of active contact candidates that did NOT fit into the
+    cfg.contact_capacity lanes (capacity overflow — silently truncated by
+    `make_contacts`).  Zero means the capacity is sufficient for this
+    state; surfaced through `stepper.step_diagnostics` so perf tuning of
+    the capacity knob is observable (no reference analog: the reference's
+    contact vector is dynamically sized, eggshell/ensembles.cc:445-480)."""
+    _, _, _, _, _, act = _candidates(spec, state, cfg)
+    return jnp.maximum(jnp.sum(act.astype(jnp.int32)) - cfg.contact_capacity, 0)
+
+
 def _dedupe(spec: SceneSpec, state: State, cs: ContactSet, cfg: SimConfig):
     """Drop contact k when an earlier same-body-pair constraint (any joint,
     or a contact with lower lane index) sits closer than

@@ -101,6 +101,7 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
         A, rhs, sys.is_eq, sys.lo, sys.hi,
         iters=cfg.solver_iters, method=method, check_tol=check_tol,
         omega=cfg.sor_omega, jacobi_omega=cfg.jacobi_omega,
+        jacobi_beta=cfg.jacobi_beta,
         couple=sys.couple if coulomb else None,
         mu=cfg.friction_mu if coulomb else 0.0,
     )
@@ -615,8 +616,16 @@ def step_diagnostics(
     reference's inline solver diagnostics (condition numbers / iteration
     counts, eggshell/sparse_iterations.cc:117-223) — reduce these across
     a mesh with psum for fleet monitoring."""
+    from eggshell_tpu.physics.contacts import count_dropped_contacts
+
     cs, sys, A, rhs, u, Minv, F = _pre_solve(spec, state, cfg, ext_force)
-    lam = _solve_lambda(A, rhs, sys, cfg)
+    if cfg.solver == SolverKind.DIRECT:
+        lam, _, solver_info = lcp_direct.mixed_constraints_solver(
+            A, rhs, sys.is_eq, sys.lo, sys.hi, return_info=True
+        )
+    else:
+        lam = _solve_lambda(A, rhs, sys, cfg)
+        solver_info = None
     residual = lcp.residual_error(A, rhs, lam, sys.is_eq, sys.lo, sys.hi)
     mass = jnp.where(spec.inv_mass > 0,
                      1.0 / jnp.where(spec.inv_mass > 0, spec.inv_mass, 1.0),
@@ -626,11 +635,20 @@ def step_diagnostics(
     ke = 0.5 * jnp.sum(mass[:, None] * state.v**2) + 0.5 * jnp.sum(
         state.w * jnp.einsum("nij,nj->ni", Ig, state.w)
     )
-    return {
+    out = {
         "num_contacts": jnp.sum(cs.active),
+        "dropped_contacts": count_dropped_contacts(spec, state, cfg),
         "max_penetration": jnp.max(jnp.where(cs.active, cs.depth, 0.0)),
         "constraint_error_norm": jnp.linalg.norm(sys.err),
         "solver_residual": residual,
         "kinetic_energy": ke,
         "max_impulse": jnp.max(jnp.abs(lam)),
     }
+    if solver_info is not None:
+        # Structured solver-failure record (ref eggshell/lcp.cc:233-268
+        # lcp_debug.log: iteration count, violation, fallback used).
+        out["solver_converged"] = solver_info.converged
+        out["solver_iterations"] = solver_info.iterations
+        out["solver_goodness"] = solver_info.goodness
+        out["solver_fallback_used"] = solver_info.fallback_used
+    return out

@@ -119,6 +119,32 @@ double clamp0(double lo, double hi) {
   return 0.0;
 }
 
+// Best-so-far tracking by "goodness" = total KKT violation (the
+// reference's sum-of-negative-parts fallback, eggshell/lcp.cc:107-137):
+// on iteration exhaustion the best iterate is returned, not the last.
+struct BestSoFar {
+  double g = 1e300;
+  std::vector<double> x;
+  std::vector<int> side;
+};
+
+double kkt_goodness(int n, int limit, const double* lo, const double* hi,
+                    const std::vector<double>& xv,
+                    const std::vector<double>& wv, const int* side) {
+  double g = 0;
+  for (int i = 0; i < limit; ++i) {
+    if (side[i] == 0) {
+      if (xv[i] < lo[i]) g += lo[i] - xv[i];
+      if (xv[i] > hi[i]) g += xv[i] - hi[i];
+    } else if (side[i] < 0) {
+      if (wv[i] < 0) g += -wv[i];
+    } else {
+      if (wv[i] > 0) g += wv[i];
+    }
+  }
+  return g;
+}
+
 // Core principal-pivot loop over indices [0, limit).  Variables at
 // index >= limit are held at their current xv value and never pivoted.
 // Returns +1 converged, 0 iteration budget exhausted, and decrements
@@ -127,7 +153,7 @@ int pivot_loop(
     Chol& chol, int n, int limit, const double* b,
     const double* lo, const double* hi,
     std::vector<double>& xv, std::vector<double>& wv, int* side,
-    int* iters_left, double tol) {
+    int* iters_left, double tol, BestSoFar* best = nullptr) {
   std::vector<double> rhs;
   while ((*iters_left)-- > 0) {
     // Solve for free variables given the clamped/held ones.
@@ -149,6 +175,15 @@ int pivot_loop(
       double s = -b[i];
       for (int j = 0; j < n; ++j) s += chol.a(i, j) * xv[j];
       wv[i] = s;
+    }
+
+    if (best) {
+      double g = kkt_goodness(n, limit, lo, hi, xv, wv, side);
+      if (g < best->g) {
+        best->g = g;
+        best->x = xv;
+        best->side.assign(side, side + n);
+      }
     }
 
     // First violation in index order (Murty rule, ref lcp.cc pivoting).
@@ -183,22 +218,29 @@ int pivot_loop(
 
 extern "C" {
 
-// Returns 1 on success (KKT satisfied), 0 if the iteration limit hit.
+// Returns 1 on success (KKT satisfied), 0 if the iteration limit hit
+// (in which case x/w hold the best-so-far iterate by KKT goodness —
+// the reference's fallback, eggshell/lcp.cc:107-137, 233-268).
 // side: work array (n) — -1 at lo, +1 at hi, 0 free (also returned).
 // algorithm: 0 = MURTY (global principal pivoting), 1 = COTTLE_DANTZIG
 // (incremental variable introduction: variable k enters only after
 // variables [0, k) satisfy their conditions — the reference's second
 // mode, toolkit/lcp.h:135-144; the Cholesky factor is warm across the
 // incremental stages).
-int egg_solve_box_lcp_alg(
+// goodness_out / iters_out (nullable): violation of the returned
+// solution (0 when converged) and pivot count spent — the structured
+// failure record the reference writes to lcp_debug.log (lcp.cc:257-268).
+int egg_solve_box_lcp_stats(
     int n, const double* A, const double* b,
     const double* lo, const double* hi,
     double* x, double* w, int* side,
-    int max_iterations, double tol, int algorithm) {
+    int max_iterations, double tol, int algorithm,
+    double* goodness_out, int* iters_out) {
   Chol chol;
   chol.init(A, n);
 
   std::vector<double> xv(n), wv(n);
+  BestSoFar best;
   int iters_left = max_iterations;
   int ok = 0;
 
@@ -229,18 +271,48 @@ int egg_solve_box_lcp_alg(
     for (int k = 1; k <= n && ok; ++k) {
       introduce(k - 1);
       // stage k: indices [0, k) participate; xv[j >= k] stays at clamp0
+      // (best-so-far tracked only at the final, full-size stage — partial
+      // stages hold variables that a fallback must not freeze mid-way)
       ok = pivot_loop(chol, n, k, b, lo, hi, xv, wv, side, &iters_left,
-                      tol);
+                      tol, k == n ? &best : nullptr);
     }
   } else {
     // Murty: start with everything clamped at the nearer-to-zero bound.
     for (int i = 0; i < n; ++i) introduce(i);
-    ok = pivot_loop(chol, n, n, b, lo, hi, xv, wv, side, &iters_left, tol);
+    ok = pivot_loop(chol, n, n, b, lo, hi, xv, wv, side, &iters_left, tol,
+                    &best);
   }
+
+  double g = 0.0;
+  if (!ok && best.g < 1e300) {
+    // Fall back to the best-so-far iterate (ref lcp.cc:233-268).
+    xv = best.x;
+    std::memcpy(side, best.side.data(), n * sizeof(int));
+    for (int i = 0; i < n; ++i) {
+      double s = -b[i];
+      for (int j = 0; j < n; ++j) s += A[(size_t)i * n + j] * xv[j];
+      wv[i] = s;
+    }
+    g = best.g;
+  }
+  if (goodness_out) *goodness_out = g;
+  // iters_left ends at -1 when the budget was exhausted (the while
+  // condition decrements once more before failing).
+  if (iters_out) *iters_out = max_iterations - iters_left - (ok ? 0 : 1);
 
   std::memcpy(x, xv.data(), n * sizeof(double));
   for (int i = 0; i < n; ++i) w[i] = (side[i] == 0) ? 0.0 : wv[i];
   return ok;
+}
+
+int egg_solve_box_lcp_alg(
+    int n, const double* A, const double* b,
+    const double* lo, const double* hi,
+    double* x, double* w, int* side,
+    int max_iterations, double tol, int algorithm) {
+  return egg_solve_box_lcp_stats(n, A, b, lo, hi, x, w, side,
+                                 max_iterations, tol, algorithm,
+                                 nullptr, nullptr);
 }
 
 int egg_solve_box_lcp(

@@ -211,3 +211,66 @@ def test_implicit_diff_matches_unrolled():
     if clamped_hi.any():
         assert np.abs(np.asarray(ghi)[clamped_hi]).max() > 0
     assert np.abs(np.asarray(ghi)[~clamped_hi]).max() < 1e-10
+
+
+def test_murty_fallback_best_so_far():
+    """When the pivot budget is exhausted, the solver returns the
+    best-so-far iterate by KKT "goodness" and flags it (the reference's
+    fallback + lcp_debug.log record, eggshell/lcp.cc:107-137, 233-268)."""
+    rng = np.random.default_rng(11)
+    n = 40
+    G = rng.normal(size=(n, n // 2))
+    A = jnp.asarray(G @ G.T + 0.01 * np.eye(n))  # near-singular: many pivots
+    b = jnp.asarray(rng.normal(size=n) * 5)
+    lo = jnp.full(n, -0.5)
+    hi = jnp.full(n, 0.5)
+
+    x_full, _, info_full = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, max_iterations=1024, return_info=True
+    )
+    assert bool(info_full.converged)
+    assert float(info_full.goodness) == 0.0
+    assert not bool(info_full.fallback_used)
+    assert int(info_full.iterations) > 8  # genuinely hard problem
+
+    budget = 4
+    x, w, info = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, max_iterations=budget, return_info=True
+    )
+    assert not bool(info.converged)
+    assert bool(info.fallback_used)
+    assert int(info.iterations) == budget
+    g = float(info.goodness)
+    assert np.isfinite(g) and g > 0
+    # The returned solution must be at least as good as EVERY iterate the
+    # budgeted run saw — in particular no worse than the first iterate
+    # (S0 = all free, ref lcp.cc:176: x = A^-1 b, goodness = sum of
+    # bound violations).
+    x0 = np.linalg.solve(np.asarray(A, float), np.asarray(b, float))
+    g_first = float(
+        (np.maximum(-0.5 - x0, 0) + np.maximum(x0 - 0.5, 0)).sum()
+    )
+    assert g <= g_first + 1e-9
+
+    # The legacy 3-tuple API still returns the fallback solution.
+    x2, _, ok = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, max_iterations=budget
+    )
+    assert not bool(ok)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x))
+
+
+def test_mixed_solver_info_passthrough():
+    rng = np.random.default_rng(12)
+    n = 20
+    m = rng.uniform(-1, 1, (n, n))
+    A = jnp.asarray(m @ m.T + n * np.eye(n))
+    b = jnp.asarray(rng.uniform(-1, 1, n))
+    is_eq = jnp.asarray(rng.uniform(size=n) < 0.4)
+    lo = jnp.where(is_eq, 0.0, -1.0)
+    hi = jnp.where(is_eq, 0.0, 1.0)
+    x, w, info = lcp_direct.mixed_constraints_solver(
+        A, b, is_eq, lo, hi, return_info=True
+    )
+    assert bool(info.converged)
+    assert float(info.goodness) == 0.0

@@ -110,3 +110,39 @@ def test_schur_fast_path_matches_full_solve():
         # unbounded rows behave as equalities: w = 0 there
         unb = np.isinf(lo)
         np.testing.assert_allclose(ws[unb], 0.0, atol=1e-12)
+
+
+def test_native_fallback_and_stats():
+    """Budget-exhausted native solves return the best-so-far iterate and
+    a structured failure record (ref eggshell/lcp.cc:107-137, 233-268)."""
+    import numpy as np
+
+    from eggshell_tpu import native
+
+    rng = np.random.default_rng(11)
+    n = 40
+    G = rng.normal(size=(n, n // 2))
+    A = G @ G.T + 0.01 * np.eye(n)
+    b = rng.normal(size=n) * 5
+    lo = np.full(n, -0.5)
+    hi = np.full(n, 0.5)
+
+    x_full, w_full, info_full = native.solve_box_lcp(
+        A, b, lo, hi, return_info=True
+    )
+    assert info_full["converged"]
+    assert info_full["goodness"] == 0.0
+    assert info_full["iterations"] > 8
+
+    x, w, info = native.solve_box_lcp(
+        A, b, lo, hi, max_iterations=4, return_info=True
+    )
+    assert not info["converged"]
+    assert info["fallback_used"]
+    assert info["iterations"] == 4
+    g = info["goodness"]
+    assert np.isfinite(g) and g > 0
+    # no worse than the all-clamped-at-lo start
+    w0 = A @ np.full(n, -0.5) - b
+    assert g <= float(np.maximum(-w0, 0).sum()) + 1e-9
+    assert np.isfinite(x).all() and np.isfinite(w).all()

@@ -40,6 +40,36 @@ def test_kernel_matches_xla_jacobi():
     )
 
 
+def test_kernel_matches_xla_jacobi_bench_config():
+    """Kernel == XLA jacobi at the EXACT bench.py solver setting
+    (iters=22, omega=0.3, heavy-ball beta=0.45).  Together with
+    tests/test_bench_parity.py (XLA jacobi at this setting vs the
+    DIRECT/f64 oracle within 1e-3) this pins the hardware bench
+    configuration to reference-accurate physics."""
+    from tests.test_bench_parity import BENCH_SOLVER
+
+    rng = np.random.default_rng(2)
+    B, m = 8, 12
+    A, b, is_eq, lo, hi = _random_problems(rng, B, m)
+    iters = BENCH_SOLVER["solver_iters"]
+    omega = BENCH_SOLVER["jacobi_omega"]
+    beta = BENCH_SOLVER["jacobi_beta"]
+
+    x_kernel = solve_lcp_jacobi_pallas(
+        A, b, is_eq, lo, hi, iters=iters, omega=omega, beta=beta,
+        interpret=True,
+    )
+    x_ref = jax.vmap(
+        lambda a, bb, e, l, h: lcp.solve_lcp(
+            a, bb, e, l, h, iters=iters, method="jacobi",
+            jacobi_omega=omega, jacobi_beta=beta,
+        )
+    )(A, b, is_eq, lo, hi)
+    np.testing.assert_allclose(
+        np.asarray(x_kernel), np.asarray(x_ref), atol=2e-5
+    )
+
+
 def test_kernel_padding_shapes():
     rng = np.random.default_rng(1)
     for B, m in [(1, 3), (130, 9), (5, 8)]:
