@@ -177,102 +177,62 @@ def mode_cutoff_frequencies(eigenvalues, unit: float = 1.0) -> np.ndarray:
 # Wideband sweep — the Solvers tier (ref rama/solver.h:315-366), vmapped
 
 
-def solve_sweep(mesh: Mesh, config, frequencies: Sequence[float]):
+def solve_sweep(mesh: Mesh, config, frequencies: Sequence[float],
+                num_modes: int = 1):
     """Driven solves at many frequencies in ONE batched device solve.
 
     The reference runs one thread per frequency (rama/solver.h:351-355);
-    here the (N, N) complex systems are assembled and LU-solved under
-    `vmap` — frequencies ride the batch dimension on the MXU.
+    here the frequencies ride a `vmap` batch dimension through the
+    shared plan/core (helmholtz.make_driven_fn) — dense systems batch on
+    the MXU; large sparse systems factor per-frequency on the host.
+
+    Ports with numerical (dielectric-loaded) mode profiles are frozen at
+    the plan frequency and re-planned per frequency instead (matching
+    the reference, which solves the waveguide-mode problem per Solver).
 
     Returns (fields (F, N) complex, s_params {port: (F,) complex}).
     """
-    from eggshell_tpu.fem.helmholtz import (
-        FemConfig,
-        _boundary_mass,
-        _trapezoid_weights,
-        assemble_matrices,
-        port_beta,
-        port_frame,
-    )
+    import dataclasses as _dc
 
-    dtype = jnp.complex64
-    pts = jnp.asarray(mesh.points)
-    tri = jnp.asarray(mesh.triangles)
-    N = mesh.num_points
-    eps = jnp.asarray(mesh.epsilon, dtype)
-    if config.type == "EXY":
-        inv_eps = 1.0 / eps     # TE: eps weights the stiffness
-        K, M = assemble_matrices(
-            pts, tri, jnp.ones_like(eps),
-            jnp.asarray(mesh.sigma_xx) * inv_eps,
-            jnp.asarray(mesh.sigma_yy) * inv_eps,
-            jnp.asarray(mesh.sigma_xy) * inv_eps,
-        )
-    else:
-        K, M = assemble_matrices(
-            pts, tri, eps, jnp.asarray(mesh.sigma_xx),
-            jnp.asarray(mesh.sigma_yy), jnp.asarray(mesh.sigma_xy),
-        )
-    K = K.astype(dtype)
-    M = M.astype(dtype)
-    mode_m = 0 if config.type == "EXY" else 1
+    from eggshell_tpu.fem.helmholtz import _cdtype, make_driven_fn
 
     c = 299792458.0
-    k0s = jnp.asarray(
-        [2 * np.pi * f / c * config.unit for f in frequencies], jnp.float32
+    fn, plan = make_driven_fn(mesh, config, num_modes=num_modes)
+    dtype = _cdtype()
+    args = (
+        jnp.asarray(mesh.points),
+        jnp.asarray(mesh.epsilon, dtype),
+        jnp.asarray(mesh.sigma_xx),
+        jnp.asarray(mesh.sigma_yy),
+        jnp.asarray(mesh.sigma_xy),
+        jnp.asarray(mesh.excitation, dtype),
     )
 
-    ports = sorted(set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1]))
-    port_static = {}
-    for p in ports:
-        nodes, t, width, _ = port_frame(mesh, p)
-        mode = np.ones_like(t) if mode_m == 0 else np.sin(np.pi * t / width)
-        B = _boundary_mass(pts, mesh.port_edges(p), N, dtype)
-        minc = (
-            jnp.zeros((N,), dtype)
-            .at[jnp.asarray(nodes)]
-            .set(jnp.asarray(mode, dtype))
+    if all(pp.analytic for pp in plan.ports):
+        k0s = jnp.asarray(
+            [2 * np.pi * f / c * config.unit for f in frequencies]
         )
-        w = _trapezoid_weights(t)
-        port_static[p] = (jnp.asarray(nodes), w, width, B, minc,
-                          jnp.asarray(mode, dtype))
+        fields, s = jax.jit(
+            jax.vmap(lambda k0: fn(*args, k0))
+        )(k0s)
+        fields = np.asarray(fields)
+        s = np.asarray(s)
+    else:
+        fields = []
+        s = []
+        for f in frequencies:
+            cfg_f = _dc.replace(config, frequency=float(f))
+            fn_f, _ = make_driven_fn(mesh, cfg_f, num_modes=num_modes)
+            u, sf = jax.jit(fn_f)(*args, jnp.asarray(cfg_f.k0))
+            fields.append(np.asarray(u))
+            s.append(np.asarray(sf))
+        fields = np.stack(fields)
+        s = np.stack(s)
 
-    abc_edges = mesh.boundary_edges[mesh.edge_kind == 2]
-    B_abc = (
-        _boundary_mass(pts, abc_edges, N, dtype) if len(abc_edges) else None
-    )
-
-    pec_mask = None
-    if config.type in ("EZ", "ES"):
-        pec_nodes = np.unique(mesh.boundary_edges[mesh.edge_kind == 0])
-        pec_mask = jnp.zeros((N,), bool).at[jnp.asarray(pec_nodes)].set(True)
-
-    def one(k0):
-        A = K - (k0**2) * M
-        rhs = jnp.zeros((N,), dtype)
-        for p, (nodes, w, width, B, minc, mode) in port_static.items():
-            beta = (k0 + 0j) if mode_m == 0 else port_beta(k0**2, width)
-            A = A + 1j * beta * B
-            if p == config.excited_port:
-                rhs = rhs + 2j * beta * (B @ minc)
-        if B_abc is not None:
-            A = A + 1j * k0 * B_abc
-        if pec_mask is not None:
-            A = jnp.where(pec_mask[:, None] | pec_mask[None, :], 0.0, A)
-            A = A + jnp.diag(jnp.where(pec_mask, 1.0, 0.0).astype(dtype))
-            rhs = jnp.where(pec_mask, 0.0, rhs)
-        u = jnp.linalg.solve(A, rhs)
-        amps = []
-        for p, (nodes, w, width, B, minc, mode) in port_static.items():
-            up = u[nodes]
-            amp = jnp.sum(w * up * mode) / jnp.sum(w * mode * mode)
-            amp = jnp.where(p == config.excited_port, amp - 1.0, amp)
-            amps.append(amp)
-        return u, jnp.stack(amps) if amps else jnp.zeros((0,), dtype)
-
-    fields, amps = jax.jit(jax.vmap(one))(k0s)
-    s_params = {p: np.asarray(amps[:, i]) for i, p in enumerate(ports)}
-    return np.asarray(fields), s_params
+    s_params = {
+        pp.number: s[:, i, 0] for i, pp in enumerate(plan.ports)
+    }
+    return fields, s_params
 
 
 # ---------------------------------------------------------------------------

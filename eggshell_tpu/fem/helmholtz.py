@@ -4,39 +4,61 @@ toolkit/femsolver.h) rebuilt JAX-native.
 Problem types (ScriptConfig analog, ref rama/solver.h:42-126):
   EZ     TM polarisation: (grad^2 + k^2 eps) Ez = 0, PEC walls are
          Dirichlet Ez = 0.
-  EXY    TE polarisation: scalar Hz with natural (Neumann) walls.
+  EXY    TE polarisation: scalar Hz with natural (Neumann) walls; a
+         finite out-of-plane `depth` subtracts (pi/depth)^2 from the
+         effective k^2 (ref Solver::ComputeKSquared,
+         rama/solver.cc:1553-1576).
   ES     electrostatics: Laplace with painted Dirichlet boundaries.
   SCHRODINGER  -grad^2 psi + V psi = E psi eigenproblem.
 
-Boundary conditions on painted segments (ref rama/edge_type.h):
-  port   matched waveguide port carrying the fundamental mode
-         sin(pi t / a): Robin term j*beta*u with excitation
-         2j*beta*u_inc on the excited port.
-  abc    first-order absorbing: Robin term j*k*u.
+Boundary conditions on painted segments (ref rama/edge_type.h and the
+Robin assembly in rama/solver.cc:142-208):
+  port   matched waveguide port: Robin term j*beta1*u where beta1 is the
+         FUNDAMENTAL mode's propagation constant computed from the local
+         (possibly complex) permittivity; excitation 2j*beta_m*psi_m on
+         the excited port/mode.  With num_modes > 1 a DtN correction
+         matches modes 2..M as well (beyond the reference, which applies
+         the single alpha = i*beta0 to all content).  Mode profiles are
+         analytic sin/cos for homogeneous ports and numerical 1D
+         eigenmodes for dielectric-loaded ports (the
+         WaveguideModeFEMProblem analog, rama/solver.cc:251).
+  abc    first-order absorbing: Robin term j*k_local*u
+         (ref solver.cc:200-202 uses the local sqrt(k^2)).
+  robin  custom complex Robin coefficient alpha (dimensionless, times
+         the local k — the reference's port-callback convention,
+         rama/solver.cc:155-158); used by the good-conductor wall model
+         (fem/metal.py, ref user_script_util.lua PortMetal).
   (default) PEC: Dirichlet (EZ/ES) or natural (EXY).
 
-The assembly is a pure JAX function of the vertex positions, so
-`jax.jvp` provides exact forward-mode derivatives of fields/S-parameters
-with respect to any smooth geometry parametrisation — the analog of the
-reference's jet-propagated derivatives (rama/my_jet.h), without a custom
-number type.
-
-Solvers: dense complex LU on CPU/TPU for moderate meshes;
-eigenproblems via SciPy ARPACK shift-invert (the very library the
-reference wraps, toolkit/eigensolvers.h:54-59) or jax LOBPCG on device.
+Architecture: `plan_driven` extracts the static problem STRUCTURE from
+the mesh on the host (COO sparsity, port node chains + mode profiles,
+Dirichlet masks); `solve_driven_core` is a pure jnp function of
+(points, materials, k0) that assembles triplet VALUES, solves, and
+projects S-parameters — fully jit-able and differentiable end-to-end
+(the analog of the reference's jets threaded through assembly+solve,
+rama/my_jet.h, solver.h:272-277).  Small systems densify and solve on
+the MXU; large systems use the host-factorized `fem.sparse.sparse_solve`
+(SimplicialLLT/SparseLU analog, toolkit/femsolver.h:134-135) wrapped in
+`lax.custom_linear_solve` so AD still works.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+from eggshell_tpu.fem import ports as portlib
+from eggshell_tpu.fem import sparse as sparselib
 from eggshell_tpu.fem.mesher import Mesh
+
+
+def _cdtype():
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,38 +69,51 @@ class FemConfig:
     type: str = "EZ"                   # EZ | EXY | ES | SCHRODINGER
     frequency: float = 10e9            # Hz (EZ/EXY)
     excited_port: int = 1
+    excited_mode: int = 1              # 1-based mode index on the port
     unit: float = 1.0                  # geometry unit in meters
-    depth: float = 1.0                 # out-of-plane depth (power scale)
+    depth: float = np.inf              # out-of-plane depth, geometry units
+                                       # (EXY effective-k term; inf = 2D)
 
     @property
     def k0(self) -> float:
         c = 299792458.0
         return 2 * np.pi * self.frequency / c * self.unit
 
+    def k2_eff(self, k0=None):
+        """Effective k^2 in geometry units: EXY with finite depth loses
+        (pi/depth)^2 (ref ComputeKSquared, rama/solver.cc:1561-1566)."""
+        k0 = self.k0 if k0 is None else k0
+        if self.type == "EXY" and np.isfinite(self.depth):
+            return k0 * k0 - (np.pi / self.depth) ** 2
+        return k0 * k0
+
 
 # ---------------------------------------------------------------------------
-# Element assembly (dense, JAX, differentiable in the vertex positions)
+# Element assembly (jnp, differentiable in the vertex positions)
 
 
-def assemble_matrices(points, triangles, eps_tri, sigma_xx=None, sigma_yy=None,
-                      sigma_xy=None):
-    """Global stiffness K (with anisotropic weights incl. the sigma_xy
-    cross term, ref rama/shape.h:64-90) and eps-weighted mass M for P1
-    triangles, dense (N, N).  All jnp ops — differentiable and jit-able.
-    (ref toolkit/femsolver.h triplet assembly :255-310.)"""
-    pts = points
-    tri = triangles
+def _tri_geometry(pts, tri):
     p0 = pts[tri[:, 0]]
     p1 = pts[tri[:, 1]]
     p2 = pts[tri[:, 2]]
-    # edge vectors / area
     d1 = p1 - p0
     d2 = p2 - p0
     det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
     area = 0.5 * jnp.abs(det)
-    # P1 gradient coefficients: grad phi_i = (b_i, c_i) / (2A)
-    b = jnp.stack([p1[:, 1] - p2[:, 1], p2[:, 1] - p0[:, 1], p0[:, 1] - p1[:, 1]], 1)
-    c = jnp.stack([p2[:, 0] - p1[:, 0], p0[:, 0] - p2[:, 0], p1[:, 0] - p0[:, 0]], 1)
+    b = jnp.stack([p1[:, 1] - p2[:, 1], p2[:, 1] - p0[:, 1],
+                   p0[:, 1] - p1[:, 1]], 1)
+    c = jnp.stack([p2[:, 0] - p1[:, 0], p0[:, 0] - p2[:, 0],
+                   p1[:, 0] - p0[:, 0]], 1)
+    return area, b, c
+
+
+def element_matrices(pts, tri, eps_tri, sigma_xx=None, sigma_yy=None,
+                     sigma_xy=None):
+    """Per-element stiffness Ke (with anisotropic weights incl. the
+    sigma_xy cross term, ref rama/shape.h:64-90) and eps-weighted mass
+    Me for P1 triangles: (T, 3, 3) each.  All jnp ops.
+    (ref toolkit/femsolver.h per-triangle assembly :255-310.)"""
+    area, b, c = _tri_geometry(pts, tri)
     sx = jnp.ones_like(area) if sigma_xx is None else sigma_xx
     sy = jnp.ones_like(area) if sigma_yy is None else sigma_yy
     Ke = (
@@ -94,31 +129,67 @@ def assemble_matrices(points, triangles, eps_tri, sigma_xx=None, sigma_yy=None,
         * (area / 12.0)[:, None, None]
         * eps_tri[:, None, None]
     )
+    return Ke, Me
 
-    N = pts.shape[0]
-    # scatter-add into dense matrices via one-hot (small meshes) — for
-    # large meshes swap for BCOO; tests run a few hundred nodes.
-    rows = tri[:, :, None].repeat(3, 2).reshape(-1)
-    cols = tri[:, None, :].repeat(3, 1).reshape(-1)
-    K = jnp.zeros((N, N), Ke.dtype).at[rows, cols].add(Ke.reshape(-1))
-    M = jnp.zeros((N, N), Me.dtype).at[rows, cols].add(Me.reshape(-1))
+
+def vol_structure(triangles: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """COO (rows, cols) of the 9 entries per triangle, matching
+    element_matrices' (T, 3, 3) flattening."""
+    tri = np.asarray(triangles)
+    rows = np.repeat(tri, 3, axis=1).reshape(-1)
+    cols = np.tile(tri, (1, 3)).reshape(-1)
+    return rows, cols
+
+
+def edge_structure(edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """COO (rows, cols) of the 4 entries per boundary edge, matching
+    edge_mass_vals' (E, 2, 2) flattening."""
+    e = np.asarray(edges).reshape(-1, 2)
+    rows = np.repeat(e, 2, axis=1).reshape(-1)
+    cols = np.tile(e, (1, 2)).reshape(-1)
+    return rows, cols
+
+
+def edge_mass_vals(pts, edges, scale=None):
+    """P1 line-element mass values per edge: len/6 * [[2,1],[1,2]],
+    optionally scaled per edge; (E, 2, 2) traced."""
+    e = jnp.asarray(np.asarray(edges).reshape(-1, 2))
+    L = jnp.linalg.norm(pts[e[:, 1]] - pts[e[:, 0]], axis=1)
+    base = jnp.asarray([[2.0, 1.0], [1.0, 2.0]])
+    vals = base[None, :, :] * (L / 6.0)[:, None, None]
+    if scale is not None:
+        vals = vals * scale[:, None, None]
+    return vals
+
+
+def assemble_matrices(points, triangles, eps_tri, sigma_xx=None,
+                      sigma_yy=None, sigma_xy=None):
+    """Dense global stiffness K and eps-weighted mass M — retained
+    convenience API over the element/COO path (small meshes, tests)."""
+    Ke, Me = element_matrices(points, triangles, eps_tri, sigma_xx,
+                              sigma_yy, sigma_xy)
+    rows, cols = vol_structure(np.asarray(triangles))
+    N = points.shape[0]
+    K = sparselib.coo_to_dense(
+        jnp.asarray(rows), jnp.asarray(cols), Ke.reshape(-1), N
+    )
+    M = sparselib.coo_to_dense(
+        jnp.asarray(rows), jnp.asarray(cols), Me.reshape(-1), N
+    )
     return K, M
 
 
-def _boundary_mass(points, edges, N, dtype=jnp.complex64):
-    """Line-element mass matrix sum over the given boundary edges:
-    integral over each edge of u v (P1): len/6 * [[2,1],[1,2]]."""
+def _boundary_mass(points, edges, N, dtype=None):
+    """Dense boundary-mass matrix over the given edges (legacy dense
+    helper, kept for fields.solve_sweep and tests)."""
+    dtype = dtype or _cdtype()
     if len(edges) == 0:
         return jnp.zeros((N, N), dtype)
-    e = jnp.asarray(edges)
-    L = jnp.linalg.norm(points[e[:, 1]] - points[e[:, 0]], axis=1)
-    Be = (
-        (jnp.asarray([[2.0, 1.0], [1.0, 2.0]]))[None, :, :]
-        * (L / 6.0)[:, None, None]
-    ).astype(dtype)
-    rows = e[:, :, None].repeat(2, 2).reshape(-1)
-    cols = e[:, None, :].repeat(2, 1).reshape(-1)
-    return jnp.zeros((N, N), dtype).at[rows, cols].add(Be.reshape(-1))
+    vals = edge_mass_vals(points, edges).astype(dtype)
+    rows, cols = edge_structure(edges)
+    return sparselib.coo_to_dense(
+        jnp.asarray(rows), jnp.asarray(cols), vals.reshape(-1), N
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -126,173 +197,492 @@ def _boundary_mass(points, edges, N, dtype=jnp.complex64):
 
 
 def port_frame(mesh: Mesh, port: int):
-    """Port endpoints, width, and the tangential coordinate of each mesh
-    point on the port (for the fundamental sin mode)."""
+    """Port nodes ordered by walking the edge chain (correct for
+    diagonal/curved ports), arclength coordinates, and total length."""
     pe = mesh.port_edges(port)
-    nodes = np.unique(pe)
+    nodes = portlib.order_edge_chain(pe)
     pts = mesh.points[nodes]
-    # order along the dominant direction
-    e0 = pts.max(axis=0) - pts.min(axis=0)
-    axis = np.argmax(np.abs(e0))
-    order = np.argsort(pts[:, axis])
-    nodes = nodes[order]
-    pts = pts[order]
-    start, end = pts[0], pts[-1]
-    width = np.linalg.norm(end - start)
-    t = np.linalg.norm(pts - start[None, :], axis=1)
-    return nodes, t, width, (start, end)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    t = np.concatenate([[0.0], np.cumsum(seg)])
+    width = float(t[-1])
+    return nodes, t, width, (pts[0], pts[-1])
 
 
 def port_beta(k2, width, mode: int = 1):
     """Propagation constant of mode m on a PEC-walled port of width a:
-    beta = sqrt(k^2 eps - (m pi / a)^2) (evanescent -> -j|.|)."""
+    beta = sqrt(k^2 eps - (m pi / a)^2), with the reference's branch cut
+    (evanescent -> -j|.|, rama/solver.cc:186-193)."""
     kc = mode * np.pi / width
-    val = k2 - kc**2
-    return jnp.where(
-        val >= 0,
-        jnp.sqrt(jnp.maximum(val, 0.0)) + 0j,
-        -1j * jnp.sqrt(jnp.maximum(-val, 0.0)),
+    val = jnp.asarray(k2 - kc**2, _cdtype())
+    b = jnp.sqrt(val)
+    return jnp.where(jnp.real(val) < 0, -b, b)
+
+
+# ---------------------------------------------------------------------------
+# Driven problem plan (host-side static structure)
+
+
+@dataclasses.dataclass
+class PortPlan:
+    number: int
+    nodes: np.ndarray            # (P,) ordered along the chain
+    edges: np.ndarray            # (E, 2)
+    adj_tris: np.ndarray         # (E,) triangle adjacent to each edge
+    num_modes: int
+    dirichlet: bool              # EZ (sin modes) vs EXY (cos modes)
+    analytic: bool               # closed-form modes vs numerical profiles
+    profiles: Optional[np.ndarray]   # (M, P) numerical mode shapes
+    beta2: Optional[np.ndarray]      # (M,) numerical beta^2 at plan k0
+
+
+@dataclasses.dataclass
+class DrivenPlan:
+    config: FemConfig
+    N: int
+    triangles: np.ndarray
+    rows: np.ndarray             # full COO rows (all segments + diag)
+    cols: np.ndarray
+    seg_slices: Dict[str, slice]
+    ports: List[PortPlan]
+    abc_edges: np.ndarray
+    abc_adj: np.ndarray
+    robin_edges: np.ndarray
+    robin_alpha: np.ndarray      # (Er,) complex dimensionless coefficients
+    robin_adj: np.ndarray
+    dirichlet_mask: np.ndarray   # (N,) bool
+    dirichlet_values: np.ndarray  # (N,)
+    point_source_node: int       # -1 if none
+    use_sparse: bool
+    structure: sparselib.SparseStructure
+
+    @property
+    def num_ports(self) -> int:
+        return len(self.ports)
+
+
+def _edge_tri_adjacency(mesh: Mesh, edges: np.ndarray) -> np.ndarray:
+    """Triangle adjacent to each boundary edge (unique for boundary
+    edges)."""
+    emap = {}
+    tri = mesh.triangles
+    for ti in range(len(tri)):
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = (min(tri[ti, a], tri[ti, b]), max(tri[ti, a], tri[ti, b]))
+            emap.setdefault(key, ti)
+    out = np.zeros(len(edges), dtype=int)
+    for i, (a, b) in enumerate(np.asarray(edges).reshape(-1, 2)):
+        out[i] = emap.get((min(a, b), max(a, b)), 0)
+    return out
+
+
+DENSE_MAX_N = 1200   # densify below this (one (N,N) complex MXU solve)
+
+
+def plan_driven(
+    mesh: Mesh,
+    config: FemConfig,
+    num_modes: int = 1,
+    numerical_modes: str = "auto",
+    point_source=None,
+    solver: str = "auto",
+) -> DrivenPlan:
+    """Extract the static structure of the driven problem.
+
+    numerical_modes: "auto" solves the 1D transverse eigenproblem when a
+    port's eps profile is non-uniform (dielectric-loaded port) and uses
+    the closed-form sin/cos modes otherwise; "always"/"never" force it.
+    """
+    N = mesh.num_points
+    tri = np.asarray(mesh.triangles)
+    vr, vc = vol_structure(tri)
+    rows = [vr]
+    cols = [vc]
+    seg_slices = {}
+    off = len(vr)
+    seg_slices["vol"] = slice(0, off)
+
+    dirichlet = config.type in ("EZ", "ES")
+
+    port_numbers = sorted(
+        set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1])
+    )
+    ports = []
+    for p in port_numbers:
+        pe = mesh.port_edges(p)
+        nodes, t, width, _ = port_frame(mesh, p)
+        adj = _edge_tri_adjacency(mesh, pe)
+        eps_prof = portlib.port_eps_profile(mesh, p, nodes)
+        uniform = (
+            np.max(np.abs(eps_prof - eps_prof[0])) < 1e-9 * max(
+                1.0, np.max(np.abs(eps_prof))
+            )
+        )
+        use_numerical = (
+            numerical_modes == "always"
+            or (numerical_modes == "auto" and not uniform)
+        )
+        profiles = beta2 = None
+        if use_numerical:
+            k2p = complex(config.k2_eff())
+            tm = portlib.transverse_modes(
+                t, eps_prof, k2p, num_modes, dirichlet=config.type == "EZ"
+            )
+            profiles, beta2 = tm.profiles, tm.beta2
+        ports.append(PortPlan(
+            number=p, nodes=nodes, edges=np.asarray(pe), adj_tris=adj,
+            num_modes=num_modes, dirichlet=config.type == "EZ",
+            analytic=not use_numerical, profiles=profiles, beta2=beta2,
+        ))
+        er, ec = edge_structure(pe)
+        rows.append(er)
+        cols.append(ec)
+        seg_slices[f"port{p}_mass"] = slice(off, off + len(er))
+        off += len(er)
+        if num_modes > 1:
+            # DtN correction block: dense over the port nodes
+            P = len(nodes)
+            rr = np.repeat(nodes, P)
+            cc = np.tile(nodes, P)
+            rows.append(rr)
+            cols.append(cc)
+            seg_slices[f"port{p}_dtn"] = slice(off, off + P * P)
+            off += P * P
+
+    abc_edges = mesh.boundary_edges[mesh.edge_kind == 2]
+    abc_adj = _edge_tri_adjacency(mesh, abc_edges) if len(abc_edges) else (
+        np.zeros(0, int)
+    )
+    if len(abc_edges):
+        er, ec = edge_structure(abc_edges)
+        rows.append(er)
+        cols.append(ec)
+        seg_slices["abc"] = slice(off, off + len(er))
+        off += len(er)
+
+    kind4 = mesh.edge_kind == 4
+    robin_edges = mesh.boundary_edges[kind4]
+    robin_alpha = (
+        np.asarray(mesh.edge_alpha)[kind4]
+        if getattr(mesh, "edge_alpha", None) is not None
+        else np.zeros(0, complex)
+    )
+    robin_adj = (
+        _edge_tri_adjacency(mesh, robin_edges) if len(robin_edges)
+        else np.zeros(0, int)
+    )
+    if len(robin_edges):
+        er, ec = edge_structure(robin_edges)
+        rows.append(er)
+        cols.append(ec)
+        seg_slices["robin"] = slice(off, off + len(er))
+        off += len(er)
+
+    # Dirichlet (PEC for EZ; painted potentials for ES)
+    dmask = np.zeros(N, bool)
+    dvals = np.zeros(N)
+    if dirichlet:
+        pec_nodes = np.unique(mesh.boundary_edges[mesh.edge_kind == 0])
+        dmask[pec_nodes] = True
+        pot = mesh.edge_kind == 3
+        if pot.any():
+            for e, v in zip(mesh.boundary_edges[pot], mesh.edge_value[pot]):
+                dvals[e[0]] = v
+                dvals[e[1]] = v
+            dmask[np.unique(mesh.boundary_edges[pot])] = True
+
+    # diagonal segment (unit rows for Dirichlet / safety)
+    diag_idx = np.arange(N)
+    rows.append(diag_idx)
+    cols.append(diag_idx)
+    seg_slices["diag"] = slice(off, off + N)
+    off += N
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+
+    node = -1
+    if point_source is not None:
+        node = int(np.argmin(
+            np.linalg.norm(mesh.points - np.asarray(point_source), axis=1)
+        ))
+
+    if solver == "auto":
+        use_sparse = N > DENSE_MAX_N
+    else:
+        use_sparse = solver == "sparse"
+
+    return DrivenPlan(
+        config=config, N=N, triangles=tri, rows=rows, cols=cols,
+        seg_slices=seg_slices, ports=ports,
+        abc_edges=np.asarray(abc_edges), abc_adj=abc_adj,
+        robin_edges=np.asarray(robin_edges),
+        robin_alpha=np.asarray(robin_alpha, complex), robin_adj=robin_adj,
+        dirichlet_mask=dmask, dirichlet_values=dvals,
+        point_source_node=node, use_sparse=use_sparse,
+        structure=sparselib.SparseStructure(rows, cols, N),
     )
 
 
 # ---------------------------------------------------------------------------
-# Driven solve
+# Driven core (pure jnp; differentiable)
+
+
+def _port_mass_small(tj):
+    """(P, P) consistent P1 mass on the port chain from traced arclength
+    coords tj."""
+    h = tj[1:] - tj[:-1]
+    P = tj.shape[0]
+    diag = jnp.zeros(P).at[:-1].add(h / 3.0).at[1:].add(h / 3.0)
+    offd = h / 6.0
+    Bp = jnp.diag(diag)
+    idx = jnp.arange(P - 1)
+    Bp = Bp.at[idx, idx + 1].set(offd).at[idx + 1, idx].set(offd)
+    return Bp
+
+
+def _port_quantities(pp: PortPlan, pts, eps_tri, k2_eff, dtype):
+    """Traced per-port quantities: arclength t, length L, port eps,
+    mode profiles (M, P), betas (M,), small port mass (P, P)."""
+    nodes = jnp.asarray(pp.nodes)
+    ppts = pts[nodes]
+    seg = jnp.linalg.norm(ppts[1:] - ppts[:-1], axis=1)
+    tj = jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
+    L = tj[-1]
+    eps_port = jnp.mean(eps_tri[jnp.asarray(pp.adj_tris)])
+    k2_local = k2_eff * eps_port
+    M = pp.num_modes
+    if pp.analytic:
+        ms = jnp.arange(1, M + 1) if pp.dirichlet else jnp.arange(M)
+        x = tj[None, :] * (ms[:, None] * (jnp.pi / L))
+        prof = (jnp.sin(x) if pp.dirichlet else jnp.cos(x)).astype(dtype)
+        kc2 = (ms * (jnp.pi / L)) ** 2
+        beta2 = k2_local - kc2.astype(dtype)
+        b = jnp.sqrt(beta2)
+        betas = jnp.where(jnp.real(beta2) < 0, -b, b)
+    else:
+        prof = jnp.asarray(pp.profiles, dtype)
+        beta2 = jnp.asarray(pp.beta2, dtype)
+        b = jnp.sqrt(beta2)
+        betas = jnp.where(jnp.real(beta2) < 0, -b, b)
+    Bp = _port_mass_small(tj).astype(dtype)
+    return tj, L, eps_port, prof, betas, Bp
+
+
+def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
+                      plan: DrivenPlan):
+    """Assemble + solve + project S-parameters.  Pure jnp function of the
+    traced inputs; static structure from `plan`.
+
+    Returns (u (N,) complex, s (num_ports, num_modes) complex)."""
+    cfg = plan.config
+    dtype = _cdtype()
+    N = plan.N
+    tri = jnp.asarray(plan.triangles)
+    k0 = jnp.asarray(k0)
+    if cfg.type == "EXY" and np.isfinite(cfg.depth):
+        k2_eff = (k0 * k0 - (np.pi / cfg.depth) ** 2).astype(dtype)
+    else:
+        k2_eff = (k0 * k0).astype(dtype)
+
+    eps_tri = eps_tri.astype(dtype)
+    # Volume term (ref HelmholtzFEMProblem PointG, rama/solver.cc:101-117;
+    # EXY weights the stiffness by sigma/eps):
+    if cfg.type == "EXY":
+        inv_eps = 1.0 / eps_tri
+        Ke, Me = element_matrices(
+            pts, tri, jnp.ones_like(eps_tri),
+            sxx.astype(dtype) * inv_eps, syy.astype(dtype) * inv_eps,
+            sxy.astype(dtype) * inv_eps,
+        )
+        vol_vals = Ke - k2_eff * Me
+    elif cfg.type == "ES":
+        Ke, _ = element_matrices(pts, tri, eps_tri, sxx.astype(dtype),
+                                 syy.astype(dtype), sxy.astype(dtype))
+        vol_vals = Ke.astype(dtype)
+    else:  # EZ
+        Ke, Me = element_matrices(pts, tri, eps_tri, sxx.astype(dtype),
+                                  syy.astype(dtype), sxy.astype(dtype))
+        vol_vals = Ke.astype(dtype) - k2_eff * Me
+    nnz = len(plan.rows)
+    vals = jnp.zeros((nnz,), dtype)
+    vals = vals.at[plan.seg_slices["vol"]].set(
+        vol_vals.reshape(-1).astype(dtype)
+    )
+
+    rhs = jnp.zeros((N,), dtype)
+
+    # Volume excitation (painted source density, ref Material excitation
+    # rama/shape.h:64-90): \int s phi = s * area / 3 per vertex.
+    area, _, _ = _tri_geometry(pts, tri)
+    contrib = (exc_tri.astype(dtype) * area.astype(dtype) / 3.0)
+    rhs = rhs.at[tri.reshape(-1)].add(
+        jnp.repeat(contrib, 3)
+    )
+
+    # Ports
+    port_aux = []
+    for pp in plan.ports:
+        tj, L, eps_port, prof, betas, Bp = _port_quantities(
+            pp, pts, eps_tri, k2_eff, dtype
+        )
+        be = edge_mass_vals(pts, pp.edges).astype(dtype)
+        # fundamental matched-port Robin: + j beta1 B
+        # (ref alpha = i*beta0, rama/solver.cc:194)
+        vals = vals.at[plan.seg_slices[f"port{pp.number}_mass"]].set(
+            (1j * betas[0]) * be.reshape(-1)
+        )
+        if pp.num_modes > 1:
+            # DtN corrections: sum_m (j beta_m - j beta_1)
+            #   (Bp psi_m)(Bp psi_m)^T / (psi_m^T Bp psi_m)
+            # matches modes 2..M exactly; reduces to the reference's
+            # uniform alpha at M=1.
+            Bpm = prof @ Bp                      # (M, P)
+            denom = jnp.sum(Bpm * prof, axis=1)  # psi^T Bp psi
+            coef = 1j * (betas - betas[0]) / denom
+            dtn = jnp.einsum("m,mp,mq->pq", coef[1:], Bpm[1:], Bpm[1:])
+            vals = vals.at[plan.seg_slices[f"port{pp.number}_dtn"]].set(
+                dtn.reshape(-1)
+            )
+        if pp.number == cfg.excited_port:
+            m0 = cfg.excited_mode - 1
+            # rhs = 2 j beta_m (B psi_m) on the port nodes
+            # (ref beta = i*2*sin(dist pi)*|alpha|, rama/solver.cc:195)
+            rhs = rhs.at[jnp.asarray(pp.nodes)].add(
+                2j * betas[m0] * (Bp @ prof[m0])
+            )
+        port_aux.append((pp, prof, betas, Bp))
+
+    # ABC: + j k_local B per edge (ref solver.cc:200-202)
+    if len(plan.abc_edges):
+        eps_e = eps_tri[jnp.asarray(plan.abc_adj)]
+        k_loc = jnp.sqrt(k2_eff * eps_e)
+        k_loc = jnp.where(jnp.real(k2_eff * eps_e) < 0, -k_loc, k_loc)
+        be = edge_mass_vals(pts, plan.abc_edges,
+                            scale=1j * k_loc).astype(dtype)
+        vals = vals.at[plan.seg_slices["abc"]].set(be.reshape(-1))
+
+    # Custom Robin (metal walls): + alpha_cb * k_local * B
+    # (ref boundary_params_ callback * k, rama/solver.cc:155-158)
+    if len(plan.robin_edges):
+        eps_e = eps_tri[jnp.asarray(plan.robin_adj)]
+        k_loc = jnp.sqrt(k2_eff * eps_e)
+        k_loc = jnp.where(jnp.real(k2_eff * eps_e) < 0, -k_loc, k_loc)
+        alpha = jnp.asarray(plan.robin_alpha, dtype) * k_loc
+        be = edge_mass_vals(pts, plan.robin_edges, scale=alpha).astype(dtype)
+        vals = vals.at[plan.seg_slices["robin"]].set(be.reshape(-1))
+
+    # Point source (radiation problems)
+    if plan.point_source_node >= 0:
+        rhs = rhs.at[plan.point_source_node].add(1.0)
+
+    # Dirichlet elimination with lift (rhs -= A g; unit diag rows)
+    dmask = jnp.asarray(plan.dirichlet_mask)
+    if plan.dirichlet_mask.any():
+        g = jnp.asarray(plan.dirichlet_values, dtype)
+        rows_j = jnp.asarray(plan.rows)
+        cols_j = jnp.asarray(plan.cols)
+        Ag = sparselib.coo_matvec(rows_j, cols_j, vals, g, N)
+        rhs = rhs - Ag
+        kill = dmask[rows_j] | dmask[cols_j]
+        vals = jnp.where(kill, 0.0, vals)
+        vals = vals.at[plan.seg_slices["diag"]].add(
+            jnp.where(dmask, 1.0, 0.0).astype(dtype)
+        )
+        rhs = jnp.where(dmask, g, rhs)
+
+    if plan.use_sparse:
+        u = sparselib.sparse_solve_structured(
+            vals, rhs, plan.structure, symmetric=True
+        )
+    else:
+        A = sparselib.coo_to_dense(
+            jnp.asarray(plan.rows), jnp.asarray(plan.cols), vals, N
+        )
+        u = jnp.linalg.solve(A, rhs)
+
+    # S-parameters: unconjugated Bp-weighted projection onto each mode
+    # (ref ComputePortOutgoingField2, rama/solver.cc:940-990)
+    max_modes = max([pp.num_modes for pp in plan.ports], default=0)
+    s = jnp.zeros((plan.num_ports, max_modes), dtype)
+    for i, (pp, prof, betas, Bp) in enumerate(port_aux):
+        up = u[jnp.asarray(pp.nodes)]
+        Bpm = prof @ Bp
+        denom = jnp.sum(Bpm * prof, axis=1)
+        amp = (Bpm @ up) / denom
+        if pp.number == cfg.excited_port:
+            amp = amp.at[cfg.excited_mode - 1].add(-1.0)
+        s = s.at[i, : pp.num_modes].set(amp)
+    return u, s
+
+
+def make_driven_fn(mesh: Mesh, config: FemConfig, num_modes: int = 1,
+                   numerical_modes: str = "auto", point_source=None,
+                   solver: str = "auto"):
+    """Public differentiable API: returns (fn, plan) where
+    fn(points, eps_tri, sxx, syy, sxy, exc_tri, k0) -> (u, s) is a pure,
+    jit-able jnp function — `jax.grad` of |S|^2 w.r.t. any of the traced
+    inputs works through assembly AND the (dense or sparse) solve.  The
+    reference's analog is jet derivatives through its pipeline
+    (rama/my_jet.h; rama/solver.h:272-277)."""
+    plan = plan_driven(mesh, config, num_modes=num_modes,
+                       numerical_modes=numerical_modes,
+                       point_source=point_source, solver=solver)
+
+    def fn(pts, eps_tri, sxx, syy, sxy, exc_tri, k0):
+        return solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri,
+                                 k0, plan)
+
+    return fn, plan
+
+
+# ---------------------------------------------------------------------------
+# Driven solve (convenience wrapper, reference-shaped results)
 
 
 @dataclasses.dataclass
 class DrivenSolution:
     field: jnp.ndarray            # (N,) complex nodal field
-    s_params: Dict[int, complex]  # port -> S_{port, excited}
+    s_params: Dict[int, complex]  # port -> S_{port, excited} (mode 1)
     port_power: Dict[int, float]  # |S|^2 outgoing power fraction
     k0: float
+    s_matrix: Optional[np.ndarray] = None   # (num_ports, num_modes)
+    port_numbers: Optional[List[int]] = None
 
 
 def solve_driven(
-    mesh: Mesh, config: FemConfig, point_source=None
+    mesh: Mesh, config: FemConfig, point_source=None, num_modes: int = 1,
+    numerical_modes: str = "auto", solver: str = "auto",
 ) -> DrivenSolution:
     """Single-frequency driven solve with matched ports
     (ref Solver::Solve electrodynamic path, rama/solver.cc:1382-1422).
 
     `point_source` = (x, y): unit excitation at the nearest mesh node
     (line-current analog) — used for radiation/antenna problems."""
-    dtype = jnp.complex64
-    pts = jnp.asarray(mesh.points)
-    tri = jnp.asarray(mesh.triangles)
-    N = mesh.num_points
-    k0 = config.k0
-    eps = jnp.asarray(mesh.epsilon, dtype)
-
-    if config.type == "EXY":
-        # TE polarisation (scalar Hz): div((1/eps) grad Hz) + k^2 Hz = 0 —
-        # the permittivity weights the STIFFNESS, mass is unweighted
-        # (ref rama/solver.cc Exy problem assembly).
-        inv_eps = 1.0 / eps
-        K, M = assemble_matrices(
-            pts, tri, jnp.ones_like(eps),
-            jnp.asarray(mesh.sigma_xx) * inv_eps,
-            jnp.asarray(mesh.sigma_yy) * inv_eps,
-            jnp.asarray(mesh.sigma_xy) * inv_eps,
-        )
-    else:
-        K, M = assemble_matrices(
-            pts, tri, eps, jnp.asarray(mesh.sigma_xx),
-            jnp.asarray(mesh.sigma_yy), jnp.asarray(mesh.sigma_xy),
-        )
-    if config.type == "ES":
-        A = K.astype(dtype)        # Laplace: no wave term
-    else:
-        A = K.astype(dtype) - (k0**2) * M.astype(dtype)
-    rhs = jnp.zeros((N,), dtype)
-
-    # volume excitation (painted source density, ref Material excitation
-    # rama/shape.h:64-90): \int s phi per triangle = s * area / 3 per node
-    exc = np.asarray(mesh.excitation)
-    if np.any(exc != 0):
-        p0n, p1n, p2n = (np.asarray(mesh.points)[mesh.triangles[:, i]]
-                         for i in range(3))
-        area_np = 0.5 * np.abs(
-            (p1n[:, 0] - p0n[:, 0]) * (p2n[:, 1] - p0n[:, 1])
-            - (p1n[:, 1] - p0n[:, 1]) * (p2n[:, 0] - p0n[:, 0])
-        )
-        contrib = (exc * area_np / 3.0)[:, None].repeat(3, 1).reshape(-1)
-        rhs = rhs.at[jnp.asarray(mesh.triangles.reshape(-1))].add(
-            jnp.asarray(contrib, dtype)
-        )
-
-    ports = sorted(set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1]))
-    port_info = {}
-    # Port modes: EZ carries the TM1 sin mode on PEC-walled ports; EXY
-    # carries the TE0/TEM uniform mode (cos with m=0), beta = k
-    # (ref rama/solver.cc port handling for the two polarisations).
-    mode_m = 0 if config.type == "EXY" else 1
-    for p in ports:
-        nodes, t, width, _ = port_frame(mesh, p)
-        if mode_m == 0:
-            beta = jnp.asarray(k0 + 0j)
-            mode = np.ones_like(t)
-        else:
-            beta = port_beta(k0**2, width)   # vacuum at ports (matched)
-            mode = np.sin(np.pi * t / width)
-        pe = mesh.port_edges(p)
-        B = _boundary_mass(pts, pe, N, dtype)
-        A = A + 1j * beta * B
-        if p == config.excited_port:
-            minc = jnp.zeros((N,), dtype).at[jnp.asarray(nodes)].set(
-                jnp.asarray(mode, dtype)
-            )
-            rhs = rhs + 2j * beta * (B @ minc)
-        port_info[p] = (nodes, t, width, beta, mode)
-
-    # ABC edges
-    abc_edges = mesh.boundary_edges[mesh.edge_kind == 2]
-    if len(abc_edges):
-        A = A + 1j * k0 * _boundary_mass(pts, abc_edges, N, dtype)
-
-    if point_source is not None:
-        node = int(
-            np.argmin(
-                np.linalg.norm(mesh.points - np.asarray(point_source), axis=1)
-            )
-        )
-        rhs = rhs.at[node].add(1.0)
-
-    # Dirichlet on PEC boundary (EZ / ES); EXY leaves walls natural.
-    # Fixed-potential conductors (edge_kind 3, ES problems: ref
-    # ELECTROSTATICS type + capacitor example) are inhomogeneous
-    # Dirichlet: lift with rhs -= A g.
-    if config.type in ("EZ", "ES"):
-        pec_nodes = np.unique(mesh.boundary_edges[mesh.edge_kind == 0])
-        mask = jnp.zeros((N,), bool).at[jnp.asarray(pec_nodes)].set(True)
-        g = np.zeros(N)
-        pot = mesh.edge_kind == 3
-        if pot.any():
-            for e, v in zip(mesh.boundary_edges[pot], mesh.edge_value[pot]):
-                g[e[0]] = v
-                g[e[1]] = v
-            pot_nodes = np.unique(mesh.boundary_edges[pot])
-            mask = mask.at[jnp.asarray(pot_nodes)].set(True)
-        gj = jnp.asarray(g, dtype)
-        rhs = rhs - A @ gj
-        A = jnp.where(mask[:, None] | mask[None, :], 0.0, A)
-        A = A + jnp.diag(jnp.where(mask, 1.0, 0.0).astype(dtype))
-        rhs = jnp.where(mask, gj, rhs)
-
-    u = jnp.linalg.solve(A, rhs)
-
-    # S-parameters: project the outgoing field onto the port mode
-    # (ref ComputePortOutgoingField1/2, rama/solver.h:185-197).
+    fn, plan = make_driven_fn(
+        mesh, config, num_modes=num_modes, numerical_modes=numerical_modes,
+        point_source=point_source, solver=solver,
+    )
+    dtype = _cdtype()
+    u, s = jax.jit(fn)(
+        jnp.asarray(mesh.points),
+        jnp.asarray(mesh.epsilon, dtype),
+        jnp.asarray(mesh.sigma_xx),
+        jnp.asarray(mesh.sigma_yy),
+        jnp.asarray(mesh.sigma_xy),
+        jnp.asarray(mesh.excitation, dtype),
+        jnp.asarray(config.k0, jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32),
+    )
+    s_np = np.asarray(s)
     s_params = {}
     power = {}
-    for p, (nodes, t, width, beta, mode) in port_info.items():
-        up = u[jnp.asarray(nodes)]
-        m = jnp.asarray(mode, dtype)
-        w = _trapezoid_weights(t)
-        amp = jnp.sum(w * up * m) / jnp.sum(w * m * m)
-        if p == config.excited_port:
-            amp = amp - 1.0  # subtract the incident wave
-        s_params[p] = complex(np.asarray(amp))
-        power[p] = float(np.abs(np.asarray(amp)) ** 2)
-    return DrivenSolution(field=u, s_params=s_params, port_power=power, k0=k0)
+    for i, pp in enumerate(plan.ports):
+        s_params[pp.number] = complex(s_np[i, 0])
+        power[pp.number] = float(np.abs(s_np[i, 0]) ** 2)
+    return DrivenSolution(
+        field=u, s_params=s_params, port_power=power, k0=config.k0,
+        s_matrix=s_np, port_numbers=[pp.number for pp in plan.ports],
+    )
 
 
 def _trapezoid_weights(t: np.ndarray) -> jnp.ndarray:
@@ -316,33 +706,36 @@ def solve_modes(
     use_lobpcg: bool = False,
 ):
     """Generalized eigenproblem K psi = lambda M psi (cavity cutoffs /
-    Schrodinger levels).  Default path is SciPy ARPACK shift-invert —
-    the same solver the reference drives (toolkit/eigensolvers.h:66-150);
-    `use_lobpcg` switches to jax's on-device LOBPCG.
-    Returns (eigenvalues (m,), eigenvectors (N, m))."""
+    Schrodinger levels).  Default path is SciPy ARPACK shift-invert on a
+    SPARSE assembly — the same solver+storage the reference drives
+    (toolkit/eigensolvers.h:66-150, SimplicialLDLT inner solves);
+    `use_lobpcg` switches to jax's on-device LOBPCG (dense transform,
+    small meshes).  Returns (eigenvalues (m,), eigenvectors (N, m))."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     pts = jnp.asarray(mesh.points)
     tri = jnp.asarray(mesh.triangles)
     N = mesh.num_points
-    K, M = assemble_matrices(pts, tri, jnp.ones(mesh.num_triangles))
-    K = np.asarray(K, dtype=float)
-    M = np.asarray(M, dtype=float)
+    rows, cols = vol_structure(np.asarray(mesh.triangles))
+    Ke, Me = element_matrices(pts, tri, jnp.ones(mesh.num_triangles))
+    kv = np.asarray(Ke, float).reshape(-1)
+    mv = np.asarray(Me, float).reshape(-1)
     if potential is not None:
-        # add \int V u v via eps-weighted mass with eps = V per triangle
-        _, MV = assemble_matrices(pts, tri, jnp.asarray(potential))
-        K = K + np.asarray(MV, dtype=float)
+        _, MV = element_matrices(pts, tri, jnp.asarray(potential))
+        kv = kv + np.asarray(MV, float).reshape(-1)
+    Ks = sp.csr_matrix((kv, (rows, cols)), shape=(N, N))
+    Ms = sp.csr_matrix((mv, (rows, cols)), shape=(N, N))
 
     if dirichlet:
         keep = np.ones(N, bool)
         keep[np.unique(mesh.boundary_edges)] = False
         idx = np.flatnonzero(keep)
-        Kr = K[np.ix_(idx, idx)]
-        Mr = M[np.ix_(idx, idx)]
+        Kr = Ks[idx][:, idx]
+        Mr = Ms[idx][:, idx]
     else:
         idx = np.arange(N)
-        Kr, Mr = K, M
+        Kr, Mr = Ks, Ms
 
     if use_lobpcg:
         from jax.experimental.sparse.linalg import lobpcg_standard
@@ -351,9 +744,11 @@ def solve_modes(
         # jax lobpcg_standard returns the LARGEST eigenpairs, so run it on
         # the inverse operator (shift-invert with sigma=0, the reference's
         # ARPACK mode, toolkit/eigensolvers.h shift-invert) and invert.
-        w, V = np.linalg.eigh(Mr)
+        Krd = Kr.toarray()
+        Mrd = Mr.toarray()
+        w, V = np.linalg.eigh(Mrd)
         Mi = V @ np.diag(1 / np.sqrt(w)) @ V.T
-        Astd = Mi @ Kr @ Mi
+        Astd = Mi @ Krd @ Mi
         Ainv = jnp.asarray(np.linalg.inv(Astd), jnp.float32)
         X0 = jnp.asarray(
             np.random.default_rng(0).normal(size=(len(idx), num_modes)),
@@ -365,11 +760,11 @@ def solve_modes(
         order = np.argsort(vals)
         vals, vecs = vals[order], vecs[:, order]
     else:
-        Ks = sp.csc_matrix(Kr)
-        Ms = sp.csc_matrix(Mr)
         if sigma is None:
             sigma = 1e-6
-        vals, vecs = spla.eigsh(Ks, k=num_modes, M=Ms, sigma=sigma, which="LM")
+        vals, vecs = spla.eigsh(
+            Kr.tocsc(), k=num_modes, M=Mr.tocsc(), sigma=sigma, which="LM"
+        )
         order = np.argsort(vals)
         vals, vecs = vals[order], vecs[:, order]
 

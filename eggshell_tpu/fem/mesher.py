@@ -31,7 +31,8 @@ class Mesh:
     triangles: np.ndarray       # (T, 3) int
     boundary_edges: np.ndarray  # (E, 2) int — edges on the boundary
     # per boundary edge: kind 0 = PEC (default), 1 = port, 2 = ABC,
-    # 3 = fixed potential (electrostatics conductor)
+    # 3 = fixed potential (electrostatics conductor), 4 = custom Robin
+    # (complex alpha coefficient — lossy conductor walls, fem/metal.py)
     edge_kind: np.ndarray       # (E,)
     edge_port: np.ndarray       # (E,) port number (0 if none)
     epsilon: np.ndarray         # (T,) complex per-triangle permittivity
@@ -40,6 +41,7 @@ class Mesh:
     sigma_xy: np.ndarray = None  # (T,) anisotropy cross term
     excitation: np.ndarray = None  # (T,) complex volume source density
     edge_value: np.ndarray = None  # (E,) potential for edge_kind 3
+    edge_alpha: np.ndarray = None  # (E,) complex Robin alpha for kind 4
 
     def __post_init__(self):
         if self.sigma_xy is None:
@@ -48,6 +50,9 @@ class Mesh:
             self.excitation = np.zeros(len(self.triangles), dtype=complex)
         if self.edge_value is None:
             self.edge_value = np.zeros(len(self.boundary_edges))
+        if self.edge_alpha is None:
+            self.edge_alpha = np.zeros(len(self.boundary_edges),
+                                       dtype=complex)
 
     @property
     def num_points(self) -> int:
@@ -172,6 +177,14 @@ def mesh_shape(
     flip = (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]) < 0
     tri[flip] = tri[flip][:, [0, 2, 1]]
 
+    return _finish_mesh(pts, tri, shape, edge_length)
+
+
+def _finish_mesh(pts: np.ndarray, tri: np.ndarray, shape: Shape,
+                 edge_length: float) -> Mesh:
+    """Resolve painted boundary attributes and per-triangle materials
+    onto a triangulation (EdgeInfo/Material resolution, the analog of
+    the reference's mesher boundary links, rama/mesh.h:21-80)."""
     # Boundary edges: edges belonging to exactly one triangle
     all_e = np.sort(
         np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]),
@@ -184,6 +197,7 @@ def mesh_shape(
     kind = np.zeros(len(bedges), dtype=int)
     port = np.zeros(len(bedges), dtype=int)
     value = np.zeros(len(bedges))
+    alpha = np.zeros(len(bedges), dtype=complex)
     mids = 0.5 * (pts[bedges[:, 0]] + pts[bedges[:, 1]])
     for seg in shape.boundaries:
         p1 = np.asarray(seg.p1)
@@ -202,6 +216,9 @@ def mesh_shape(
         elif seg.kind == "potential":
             kind[on] = 3
             value[on] = seg.value
+        elif seg.kind == "robin":
+            kind[on] = 4
+            alpha[on] = seg.alpha
 
     # Per-triangle materials
     cent = pts[tri].mean(axis=1)
@@ -222,4 +239,71 @@ def mesh_shape(
         points=pts, triangles=tri, boundary_edges=bedges,
         edge_kind=kind, edge_port=port, edge_value=value, epsilon=eps,
         sigma_xx=sxx, sigma_yy=syy, sigma_xy=sxy, excitation=exc,
+        edge_alpha=alpha,
     )
+
+
+def mesh_structured(
+    shape: Shape,
+    origin,
+    e1,
+    e2,
+    edge_length: float,
+    material_split: Optional[float] = None,
+) -> Mesh:
+    """Structured triangulation of the parallelogram origin + s e1 + t e2
+    (s, t in [0, 1]) with target edge `edge_length`, with boundary/
+    material attributes painted from `shape`.
+
+    The analog of the reference feeding a clean rectangle to Triangle
+    with max-edge refinement (rama/mesh.cc) — used for large waveguide
+    runs (conductor-loss validation needs ~1e5 triangles where distmesh
+    relaxation is unnecessary) and rotated guides (anisotropy tests).
+
+    `material_split`: optional t-coordinate in (0, 1) to align a grid
+    line with a material interface at constant t (dielectric-loaded
+    guides need the interface mesh-conforming)."""
+    origin = np.asarray(origin, float)
+    e1 = np.asarray(e1, float)
+    e2 = np.asarray(e2, float)
+    n1 = max(1, int(np.ceil(np.linalg.norm(e1) / edge_length)))
+    n2 = max(1, int(np.ceil(np.linalg.norm(e2) / edge_length)))
+    s = np.linspace(0, 1, n1 + 1)
+    t = np.linspace(0, 1, n2 + 1)
+    if material_split is not None and 0 < material_split < 1:
+        k = int(round(material_split * n2))
+        k = min(max(k, 1), n2 - 1)
+        t = np.concatenate([
+            np.linspace(0, material_split, k + 1),
+            np.linspace(material_split, 1, n2 - k + 1)[1:],
+        ])
+    S, T = np.meshgrid(s, t, indexing="ij")
+    pts = origin[None, :] + S.reshape(-1, 1) * e1[None, :] + (
+        T.reshape(-1, 1) * e2[None, :]
+    )
+    nt = len(t)
+
+    def vid(i, j):
+        return i * nt + j
+
+    tris = []
+    for i in range(n1):
+        for j in range(len(t) - 1):
+            a = vid(i, j)
+            b = vid(i + 1, j)
+            c = vid(i + 1, j + 1)
+            d = vid(i, j + 1)
+            if (i + j) % 2 == 0:        # union-jack split (isotropy)
+                tris.append((a, b, c))
+                tris.append((a, c, d))
+            else:
+                tris.append((a, b, d))
+                tris.append((b, c, d))
+    tri = np.asarray(tris, dtype=int)
+
+    # orient CCW
+    v1 = pts[tri[:, 1]] - pts[tri[:, 0]]
+    v2 = pts[tri[:, 2]] - pts[tri[:, 0]]
+    flip = (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]) < 0
+    tri[flip] = tri[flip][:, [0, 2, 1]]
+    return _finish_mesh(pts, tri, shape, edge_length)

@@ -129,10 +129,13 @@ class BoundarySegment:
 
     p1: Tuple[float, float]
     p2: Tuple[float, float]
-    kind: str   # "port" | "abc" | "potential" | "pec" (default is PEC)
+    kind: str   # "port" | "abc" | "potential" | "robin" | "pec" (default)
     port_number: int = 0
     tol: float = 1e-6
     value: float = 0.0   # fixed potential for kind == "potential"
+    alpha: complex = 0.0  # Robin coefficient for kind == "robin"
+                          # (dimensionless; the solver multiplies by the
+                          # local k — ref rama/solver.cc:155-158)
 
 
 @dataclasses.dataclass
@@ -204,6 +207,19 @@ class Shape:
         """Absorbing (first-order Robin) boundary segment."""
         self.boundaries.append(
             BoundarySegment(tuple(p1), tuple(p2), "abc", 0, tol)
+        )
+        self.fixed_points += [tuple(p1), tuple(p2)]
+        return self
+
+    def Robin(self, p1, p2, alpha: complex, tol: float = 1e-6) -> "Shape":
+        """Custom Robin boundary on the segment p1-p2:
+        du/dn + alpha * k_local * u = 0 with complex dimensionless
+        `alpha` (the reference's port-callback boundary parameters,
+        rama/solver.cc:155-158) — lossy conductor walls via
+        fem.metal.metal_wall_alpha."""
+        self.boundaries.append(
+            BoundarySegment(tuple(p1), tuple(p2), "robin", 0, tol,
+                            alpha=complex(alpha))
         )
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self

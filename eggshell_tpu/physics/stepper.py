@@ -164,78 +164,6 @@ def step_ode(
     return _post_solve(state, cfg, sys, lam, u, Minv, F), cs
 
 
-def _pre_solve_batched_kernel(spec, states, cfg, css, ext_forces):
-    """Kernelised batched pre-solve for the BOX-friction joint-free case:
-    contact J blocks + rhs from ops/jassembly_kernel, one one-hot einsum
-    to expand body columns, batched matmuls for A.  Returns the same
-    (sys, A, rhs, u, Minv, F) tuple as the vmapped XLA path."""
-    from eggshell_tpu.ops.jassembly_kernel import contact_jacobian_blocks
-
-    B = states.p.shape[0]
-    n = spec.num_bodies
-    K = css.b0.shape[1]
-    m = 3 * K
-    dtype = states.p.dtype
-
-    def per_scene(state, ext):
-        u = scn.pack_velocity(state)
-        Minv = scn.inv_mass_blocks(spec, state)
-        F = scn.external_forces(spec, state, cfg.gravity)
-        if ext is not None:
-            F = F + ext
-        MinvF = jnp.einsum("nij,nj->ni", Minv, F)
-        return u, Minv, F, u / cfg.dt + MinvF
-
-    in_axes = (0, 0 if ext_forces is not None else None)
-    u, Minv, F, uhat = jax.vmap(per_scene, in_axes=in_axes)(
-        states, ext_forces
-    )
-
-    interpret = jax.default_backend() != "tpu"
-    Jc, rhs, packed = contact_jacobian_blocks(
-        css.b0, css.b1, css.position, css.normal, css.depth, css.active,
-        states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
-        interpret=interpret, also_packed=True,
-    )
-    jc_packed = packed["jc"]
-
-    # expand compact slots to body columns (one one-hot einsum per slot)
-    ar = jnp.arange(n)
-    oh0 = (css.b0[..., None] == ar).astype(dtype)        # (B, K, n)
-    oh1 = (css.b1[..., None] == ar).astype(dtype)
-    Jc4 = Jc.reshape(B, K, 3, 12)
-    J = jnp.einsum("bkn,bkrc->bkrnc", oh0, Jc4[..., 0:6]) + jnp.einsum(
-        "bkn,bkrc->bkrnc", oh1, Jc4[..., 6:12]
-    )
-    J = J.reshape(B, m, n, 6)
-
-    # A = J Minv J^T (batched matmuls) + masked diag + cfm
-    JM = jnp.einsum("bmnk,bnkl->bmnl", J, Minv)
-    A = jnp.einsum("bmnl,bonl->bmo", JM, J)
-    row_active = jnp.repeat(css.active, 3, axis=-1)      # (B, m)
-    diagA = jnp.einsum("bmm->bm", A)
-    diag_scale = jnp.max(jnp.where(row_active, diagA, 0.0), axis=-1)
-    diag_scale = jnp.where(diag_scale > 0, diag_scale, 1.0)
-    fix = jnp.where(row_active, cfg.cfm_always, diag_scale[:, None])
-    A = A + fix[:, :, None] * jnp.eye(m, dtype=dtype)[None]
-
-    mu = cfg.friction_bound
-    lo = jnp.broadcast_to(
-        jnp.tile(jnp.asarray([-mu, -mu, 0.0], dtype), K), (B, m)
-    )
-    hi = jnp.broadcast_to(
-        jnp.tile(jnp.asarray([mu, mu, jnp.inf], dtype), K), (B, m)
-    )
-    is_eq = ~row_active
-    sys = ConstraintSystem(
-        J=J, err=jnp.zeros((B, m), dtype), is_eq=is_eq, lo=lo, hi=hi,
-        row_active=row_active,
-        couple=jnp.full((B, m), -1, jnp.int32),
-    )
-    rhs = jnp.where(row_active, rhs, 0.0)
-    return sys, A, rhs, u, Minv, F, (Jc, jc_packed)
-
-
 def _fused_step_packed(spec, states, cfg, css, ext_forces):
     """All-kernel batched step: narrowphase contacts (already in `css`)
     -> J-assembly kernel -> A-formation kernel -> packed momentum-Jacobi
