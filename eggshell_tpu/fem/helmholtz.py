@@ -321,6 +321,13 @@ def plan_driven(
             numerical_modes == "always"
             or (numerical_modes == "auto" and not uniform)
         )
+        # the 1D transverse solver assumes unit stiffness weights (W=I):
+        # valid for EZ ports with isotropic sigma; EXY folds eps into the
+        # stiffness, so loaded EXY ports keep the closed-form modes (the
+        # reference's EXY ports are similarly approximate,
+        # rama/solver.cc:175-177)
+        if config.type != "EZ":
+            use_numerical = False
         profiles = beta2 = None
         if use_numerical:
             k2p = complex(config.k2_eff())
@@ -440,32 +447,68 @@ def _port_mass_small(tj):
     return Bp
 
 
-def _port_quantities(pp: PortPlan, pts, eps_tri, k2_eff, dtype):
-    """Traced per-port quantities: arclength t, length L, port eps,
-    mode profiles (M, P), betas (M,), small port mass (P, P)."""
+def _branch_sqrt(x):
+    """sqrt with the reference's branch cut: negative-real arguments give
+    -sqrt so evanescent port terms decay (rama/solver.cc:146-151)."""
+    b = jnp.sqrt(x)
+    return jnp.where(jnp.real(x) < 0, -b, b)
+
+
+def _dir_weight(Wxx, Wyy, Wxy, d):
+    """d^T W d for a unit direction d=(dx, dy) and per-element tensor
+    (the reference's anisotropic Robin scale, toolkit/femsolver.h:622-638
+    uses sqrt of this along the boundary normal)."""
+    return (
+        Wxx * d[0] * d[0] + Wyy * d[1] * d[1] + 2.0 * Wxy * d[0] * d[1]
+    )
+
+
+def _port_quantities(pp: PortPlan, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff,
+                     is_exy, dtype):
+    """Traced per-port quantities: arclength t, length L, mode profiles
+    (M, P), Robin coefficients alpha_m (M,), small port mass (P, P).
+
+    alpha_m is flux-consistent with the stiffness-weight tensor W used in
+    the volume assembly: the matched condition for the weak form
+    W dn(u) + alpha u = 0 against a mode with propagation constant
+    beta_m = sqrt(eff_k2_m / W_n) is alpha_m = i W_n beta_m
+    = i sqrt(W_n eff_k2_m).  With W = I this reduces to the reference's
+    alpha = i beta0 (rama/solver.cc:194); with anisotropic W it
+    reproduces the reference's sqrt(n^T sigma n) scale
+    (toolkit/femsolver.h:622-638)."""
     nodes = jnp.asarray(pp.nodes)
     ppts = pts[nodes]
     seg = jnp.linalg.norm(ppts[1:] - ppts[:-1], axis=1)
     tj = jnp.concatenate([jnp.zeros((1,), seg.dtype), jnp.cumsum(seg)])
     L = tj[-1]
-    eps_port = jnp.mean(eps_tri[jnp.asarray(pp.adj_tris)])
-    k2_local = k2_eff * eps_port
+    adj = jnp.asarray(pp.adj_tris)
+    eps_port = jnp.mean(eps_tri[adj])
+    # port tangent/normal from the chord (straight ports; the reference
+    # makes the same assumption, femsolver.h:627-631)
+    that = (ppts[-1] - ppts[0]) / jnp.maximum(
+        jnp.linalg.norm(ppts[-1] - ppts[0]), 1e-30
+    )
+    nvec = jnp.stack([that[1], -that[0]])
+    Wn = jnp.mean(_dir_weight(Wxx[adj], Wyy[adj], Wxy[adj], nvec))
+    Wt = jnp.mean(_dir_weight(Wxx[adj], Wyy[adj], Wxy[adj], that))
+    # mass-term k^2 at the port: EZ carries eps in the mass; the EXY
+    # convention here carries eps in the stiffness weight instead
+    k2_mass = k2_eff if is_exy else k2_eff * eps_port
     M = pp.num_modes
     if pp.analytic:
         ms = jnp.arange(1, M + 1) if pp.dirichlet else jnp.arange(M)
         x = tj[None, :] * (ms[:, None] * (jnp.pi / L))
         prof = (jnp.sin(x) if pp.dirichlet else jnp.cos(x)).astype(dtype)
-        kc2 = (ms * (jnp.pi / L)) ** 2
-        beta2 = k2_local - kc2.astype(dtype)
-        b = jnp.sqrt(beta2)
-        betas = jnp.where(jnp.real(beta2) < 0, -b, b)
+        kc2 = ((ms * (jnp.pi / L)) ** 2).astype(dtype)
+        eff_k2 = k2_mass - kc2 * Wt
     else:
         prof = jnp.asarray(pp.profiles, dtype)
-        beta2 = jnp.asarray(pp.beta2, dtype)
-        b = jnp.sqrt(beta2)
-        betas = jnp.where(jnp.real(beta2) < 0, -b, b)
+        # numerical transverse modes are solved with W = I (plan guards
+        # them to isotropic-sigma EZ ports); beta2 is eff_k2 directly
+        eff_k2 = jnp.asarray(pp.beta2, dtype)
+    alphas = 1j * _branch_sqrt(Wn * eff_k2)
     Bp = _port_mass_small(tj).astype(dtype)
-    return tj, L, eps_port, prof, betas, Bp
+    return tj, L, eps_port, prof, alphas, Bp
 
 
 def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
@@ -487,21 +530,27 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
     eps_tri = eps_tri.astype(dtype)
     # Volume term (ref HelmholtzFEMProblem PointG, rama/solver.cc:101-117;
     # EXY weights the stiffness by sigma/eps):
-    if cfg.type == "EXY":
+    is_exy = cfg.type == "EXY"
+    if is_exy:
         inv_eps = 1.0 / eps_tri
+        Wxx = sxx.astype(dtype) * inv_eps
+        Wyy = syy.astype(dtype) * inv_eps
+        Wxy = sxy.astype(dtype) * inv_eps
         Ke, Me = element_matrices(
-            pts, tri, jnp.ones_like(eps_tri),
-            sxx.astype(dtype) * inv_eps, syy.astype(dtype) * inv_eps,
-            sxy.astype(dtype) * inv_eps,
+            pts, tri, jnp.ones_like(eps_tri), Wxx, Wyy, Wxy,
         )
         vol_vals = Ke - k2_eff * Me
     elif cfg.type == "ES":
-        Ke, _ = element_matrices(pts, tri, eps_tri, sxx.astype(dtype),
-                                 syy.astype(dtype), sxy.astype(dtype))
+        Wxx = sxx.astype(dtype)
+        Wyy = syy.astype(dtype)
+        Wxy = sxy.astype(dtype)
+        Ke, _ = element_matrices(pts, tri, eps_tri, Wxx, Wyy, Wxy)
         vol_vals = Ke.astype(dtype)
     else:  # EZ
-        Ke, Me = element_matrices(pts, tri, eps_tri, sxx.astype(dtype),
-                                  syy.astype(dtype), sxy.astype(dtype))
+        Wxx = sxx.astype(dtype)
+        Wyy = syy.astype(dtype)
+        Wxy = sxy.astype(dtype)
+        Ke, Me = element_matrices(pts, tri, eps_tri, Wxx, Wyy, Wxy)
         vol_vals = Ke.astype(dtype) - k2_eff * Me
     nnz = len(plan.rows)
     vals = jnp.zeros((nnz,), dtype)
@@ -522,52 +571,73 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
     # Ports
     port_aux = []
     for pp in plan.ports:
-        tj, L, eps_port, prof, betas, Bp = _port_quantities(
-            pp, pts, eps_tri, k2_eff, dtype
+        tj, L, eps_port, prof, alphas, Bp = _port_quantities(
+            pp, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff, is_exy, dtype
         )
         be = edge_mass_vals(pts, pp.edges).astype(dtype)
-        # fundamental matched-port Robin: + j beta1 B
-        # (ref alpha = i*beta0, rama/solver.cc:194)
+        # fundamental matched-port Robin: + alpha_1 B
+        # (ref alpha = i*beta0 with the anisotropic sqrt(n^T sigma n)
+        # scale, rama/solver.cc:194 + toolkit/femsolver.h:622-638)
         vals = vals.at[plan.seg_slices[f"port{pp.number}_mass"]].set(
-            (1j * betas[0]) * be.reshape(-1)
+            alphas[0] * be.reshape(-1)
         )
         if pp.num_modes > 1:
-            # DtN corrections: sum_m (j beta_m - j beta_1)
+            # DtN corrections: sum_m (alpha_m - alpha_1)
             #   (Bp psi_m)(Bp psi_m)^T / (psi_m^T Bp psi_m)
             # matches modes 2..M exactly; reduces to the reference's
             # uniform alpha at M=1.
             Bpm = prof @ Bp                      # (M, P)
             denom = jnp.sum(Bpm * prof, axis=1)  # psi^T Bp psi
-            coef = 1j * (betas - betas[0]) / denom
+            coef = (alphas - alphas[0]) / denom
             dtn = jnp.einsum("m,mp,mq->pq", coef[1:], Bpm[1:], Bpm[1:])
             vals = vals.at[plan.seg_slices[f"port{pp.number}_dtn"]].set(
                 dtn.reshape(-1)
             )
         if pp.number == cfg.excited_port:
             m0 = cfg.excited_mode - 1
-            # rhs = 2 j beta_m (B psi_m) on the port nodes
+            # rhs = 2 alpha_m (B psi_m) on the port nodes
             # (ref beta = i*2*sin(dist pi)*|alpha|, rama/solver.cc:195)
             rhs = rhs.at[jnp.asarray(pp.nodes)].add(
-                2j * betas[m0] * (Bp @ prof[m0])
+                2.0 * alphas[m0] * (Bp @ prof[m0])
             )
-        port_aux.append((pp, prof, betas, Bp))
+        port_aux.append((pp, prof, alphas, Bp))
 
-    # ABC: + j k_local B per edge (ref solver.cc:200-202)
+    def _edge_alphas(edges, adj):
+        """Flux-consistent absorbing coefficient per boundary edge:
+        alpha_e = i sqrt(W_n k2_mass) with W_n = n^T W n along the edge
+        normal (ref solver.cc:200-202 alpha = i k, plus the femsolver
+        anisotropic scale)."""
+        e = jnp.asarray(np.asarray(edges).reshape(-1, 2))
+        adj = jnp.asarray(adj)
+        d = pts[e[:, 1]] - pts[e[:, 0]]
+        d = d / jnp.maximum(
+            jnp.linalg.norm(d, axis=1, keepdims=True), 1e-30
+        )
+        nv = jnp.stack([d[:, 1], -d[:, 0]], axis=1)
+        Wn = (
+            Wxx[adj] * nv[:, 0] ** 2 + Wyy[adj] * nv[:, 1] ** 2
+            + 2.0 * Wxy[adj] * nv[:, 0] * nv[:, 1]
+        )
+        k2_mass = k2_eff if is_exy else k2_eff * eps_tri[adj]
+        return 1j * _branch_sqrt(Wn * k2_mass), Wn
+
+    # ABC: + i sqrt(W_n k2_mass) B per edge (ref solver.cc:200-202)
     if len(plan.abc_edges):
-        eps_e = eps_tri[jnp.asarray(plan.abc_adj)]
-        k_loc = jnp.sqrt(k2_eff * eps_e)
-        k_loc = jnp.where(jnp.real(k2_eff * eps_e) < 0, -k_loc, k_loc)
-        be = edge_mass_vals(pts, plan.abc_edges,
-                            scale=1j * k_loc).astype(dtype)
+        a_e, _ = _edge_alphas(plan.abc_edges, plan.abc_adj)
+        be = edge_mass_vals(pts, plan.abc_edges, scale=a_e).astype(dtype)
         vals = vals.at[plan.seg_slices["abc"]].set(be.reshape(-1))
 
-    # Custom Robin (metal walls): + alpha_cb * k_local * B
-    # (ref boundary_params_ callback * k, rama/solver.cc:155-158)
+    # Custom Robin (metal walls): + W_n * alpha_cb * k_phys * B where
+    # k_phys = sqrt(k2_eff eps_local) is the physical local wavenumber
+    # (ref boundary_params_ callback * k, rama/solver.cc:155-158; the W_n
+    # factor adapts the reference's convention to the eps-in-stiffness
+    # EXY weak form used here — identity for EZ).
     if len(plan.robin_edges):
-        eps_e = eps_tri[jnp.asarray(plan.robin_adj)]
-        k_loc = jnp.sqrt(k2_eff * eps_e)
-        k_loc = jnp.where(jnp.real(k2_eff * eps_e) < 0, -k_loc, k_loc)
-        alpha = jnp.asarray(plan.robin_alpha, dtype) * k_loc
+        adj = jnp.asarray(plan.robin_adj)
+        eps_e = eps_tri[adj]
+        k_phys = _branch_sqrt(k2_eff * eps_e)
+        _, Wn_e = _edge_alphas(plan.robin_edges, plan.robin_adj)
+        alpha = jnp.asarray(plan.robin_alpha, dtype) * k_phys * Wn_e
         be = edge_mass_vals(pts, plan.robin_edges, scale=alpha).astype(dtype)
         vals = vals.at[plan.seg_slices["robin"]].set(be.reshape(-1))
 
@@ -604,7 +674,7 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
     # (ref ComputePortOutgoingField2, rama/solver.cc:940-990)
     max_modes = max([pp.num_modes for pp in plan.ports], default=0)
     s = jnp.zeros((plan.num_ports, max_modes), dtype)
-    for i, (pp, prof, betas, Bp) in enumerate(port_aux):
+    for i, (pp, prof, alphas, Bp) in enumerate(port_aux):
         up = u[jnp.asarray(pp.nodes)]
         Bpm = prof @ Bp
         denom = jnp.sum(Bpm * prof, axis=1)
@@ -683,6 +753,36 @@ def solve_driven(
         field=u, s_params=s_params, port_power=power, k0=config.k0,
         s_matrix=s_np, port_numbers=[pp.number for pp in plan.ports],
     )
+
+
+def port_outgoing_rms(mesh: Mesh, config: FemConfig, field) -> Dict[int, float]:
+    """Total outgoing power fraction per port by the reference's metric:
+    RMS of (u - excitation*mode) over the port (x2 for EZ sin^2
+    normalization) — captures ALL mode content, unlike the per-mode
+    projection in s_matrix (ref ComputePortOutgoingField2,
+    rama/solver.cc:940-990)."""
+    f = np.asarray(field)
+    out = {}
+    port_numbers = sorted(
+        set(int(p) for p in mesh.edge_port[mesh.edge_kind == 1])
+    )
+    for p in port_numbers:
+        nodes, t, width, _ = port_frame(mesh, p)
+        mode = (
+            np.sin(np.pi * t / width) if config.type == "EZ"
+            else np.ones_like(t)
+        )
+        inc = mode if p == config.excited_port else 0.0
+        o = f[nodes] - inc
+        dt = np.diff(t)
+        w = np.zeros_like(t)
+        w[:-1] += dt / 2
+        w[1:] += dt / 2
+        rms2 = np.sum(w * np.abs(o) ** 2) / width
+        if config.type == "EZ":
+            rms2 *= 2.0
+        out[p] = float(rms2)
+    return out
 
 
 def _trapezoid_weights(t: np.ndarray) -> jnp.ndarray:
