@@ -117,6 +117,21 @@ class _DiffSDF(_SDF):
         return np.maximum(self.a(pts), -self.b(pts))
 
 
+@dataclasses.dataclass
+class _OffsetSDF(_SDF):
+    """Minkowski grow (d > 0) / shrink (d < 0) by |d| — the analog of the
+    reference's Clipper polygon offsetting (rama/shape.h:26-44 Offset,
+    ClipperOffset paths).  Exact for primitive SDFs; a conservative bound
+    near concave corners of CSG combinations (where min/max SDFs
+    under-estimate distance)."""
+
+    a: _SDF
+    d: float
+
+    def __call__(self, pts):
+        return self.a(pts) - self.d
+
+
 # ---------------------------------------------------------------------------
 # Boundary painting + materials
 
@@ -136,6 +151,17 @@ class BoundarySegment:
     alpha: complex = 0.0  # Robin coefficient for kind == "robin"
                           # (dimensionless; the solver multiplies by the
                           # local k — ref rama/solver.cc:155-158)
+
+
+@dataclasses.dataclass
+class EdgeSelection:
+    """A selected straight boundary piece, as returned by Shape.Select —
+    the analog of the reference's Lua `shape:Select(x, y)` edge
+    selections (rama/shape.h:26-44), accepted by Port/ABC/Robin/
+    Potential in place of explicit endpoints."""
+
+    p1: Tuple[float, float]
+    p2: Tuple[float, float]
 
 
 @dataclasses.dataclass
@@ -194,29 +220,41 @@ class Shape:
         return s
 
     # ---- painting ----
-    def Port(self, p1, p2, port_number: int, tol: float = 1e-6) -> "Shape":
-        """Mark the boundary segment p1-p2 as port `port_number`
-        (ref rama/shape.h Port, user_script_util.lua:232-292)."""
+    def Port(self, p1, p2, port_number: Optional[int] = None,
+             tol: float = 1e-6) -> "Shape":
+        """Mark the boundary segment p1-p2 (or Port(selection, n)) as
+        port `port_number` (ref rama/shape.h Port,
+        user_script_util.lua:232-292)."""
+        if isinstance(p1, EdgeSelection):
+            p1, p2, port_number = p1.p1, p1.p2, int(p2)
+        assert port_number is not None
         self.boundaries.append(
             BoundarySegment(tuple(p1), tuple(p2), "port", port_number, tol)
         )
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self
 
-    def ABC(self, p1, p2, tol: float = 1e-6) -> "Shape":
-        """Absorbing (first-order Robin) boundary segment."""
+    def ABC(self, p1, p2=None, tol: float = 1e-6) -> "Shape":
+        """Absorbing (first-order Robin) boundary segment; also accepts
+        ABC(selection)."""
+        if isinstance(p1, EdgeSelection):
+            p1, p2 = p1.p1, p1.p2
         self.boundaries.append(
             BoundarySegment(tuple(p1), tuple(p2), "abc", 0, tol)
         )
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self
 
-    def Robin(self, p1, p2, alpha: complex, tol: float = 1e-6) -> "Shape":
-        """Custom Robin boundary on the segment p1-p2:
-        du/dn + alpha * k_local * u = 0 with complex dimensionless
-        `alpha` (the reference's port-callback boundary parameters,
-        rama/solver.cc:155-158) — lossy conductor walls via
-        fem.metal.metal_wall_alpha."""
+    def Robin(self, p1, p2, alpha: Optional[complex] = None,
+              tol: float = 1e-6) -> "Shape":
+        """Custom Robin boundary on the segment p1-p2 (or
+        Robin(selection, alpha)):  du/dn + alpha * k_local * u = 0 with
+        complex dimensionless `alpha` (the reference's port-callback
+        boundary parameters, rama/solver.cc:155-158) — lossy conductor
+        walls via fem.metal.metal_wall_alpha."""
+        if isinstance(p1, EdgeSelection):
+            p1, p2, alpha = p1.p1, p1.p2, complex(p2)
+        assert alpha is not None
         self.boundaries.append(
             BoundarySegment(tuple(p1), tuple(p2), "robin", 0, tol,
                             alpha=complex(alpha))
@@ -224,17 +262,35 @@ class Shape:
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self
 
-    def Potential(self, p1, p2, value: float, tol: float = 1e-6) -> "Shape":
-        """Fix the boundary segment p1-p2 at a given electrostatic
-        potential (conductor at `value` volts — the ES problem type's
-        boundary condition, ref rama/solver.h ELECTROSTATICS +
-        capacitor_electrostatics.lua example)."""
+    def Potential(self, p1, p2, value: Optional[float] = None,
+                  tol: float = 1e-6) -> "Shape":
+        """Fix the boundary segment p1-p2 (or Potential(selection, v))
+        at a given electrostatic potential (conductor at `value` volts —
+        the ES problem type's boundary condition, ref rama/solver.h
+        ELECTROSTATICS + capacitor_electrostatics.lua example)."""
+        if isinstance(p1, EdgeSelection):
+            p1, p2, value = p1.p1, p1.p2, float(p2)
+        assert value is not None
         self.boundaries.append(
             BoundarySegment(tuple(p1), tuple(p2), "potential", 0, tol,
                             value=value)
         )
         self.fixed_points += [tuple(p1), tuple(p2)]
         return self
+
+    # ---- derived shapes ----
+    def Offset(self, distance: float) -> "Shape":
+        """Grow (distance > 0) or shrink (< 0) the shape by |distance| —
+        the reference's Clipper offsetting verb (rama/shape.h:26-44).
+        Painted boundaries/materials do not carry over (the offset
+        boundary is new geometry); the bbox is inflated accordingly."""
+        b = self.bbox
+        d = float(distance)
+        bbox = None if b is None else (
+            b[0] - max(d, 0), b[1] - max(d, 0),
+            b[2] + max(d, 0), b[3] + max(d, 0),
+        )
+        return Shape(_OffsetSDF(self.sdf, d), [], bbox)
 
     def Paint(self, region: "Shape", epsilon: complex = 1.0,
               sigma_xx: float = 1.0, sigma_yy: float = 1.0,
@@ -253,6 +309,65 @@ class Shape:
 
     def contains(self, pts: Array) -> Array:
         return self.distance(pts) < 0
+
+    def polygons(self, resolution: int = 256,
+                 simplify_tol: float = None) -> List[Array]:
+        """Extract the boundary as closed polygons (the reference keeps
+        shapes AS polygon sets via Clipper, rama/shape.h; here they are
+        recovered from the SDF zero level set).  Returns a list of
+        (n, 2) closed loops (last vertex != first; implicitly closed),
+        collinear-simplified so straight sides come back as single
+        segments."""
+        return extract_polygons(self, resolution, simplify_tol)
+
+    def Select(self, x: float, y: float,
+               resolution: int = 256) -> EdgeSelection:
+        """Select the maximal straight boundary piece nearest to (x, y)
+        — the reference's `shape:Select(x, y)` verb (rama/shape.h:26-44),
+        used to address ports/boundary paint without retyping
+        coordinates.  Returns an EdgeSelection accepted by
+        Port/ABC/Robin/Potential."""
+        polys = self.polygons(resolution)
+        best = None
+        q = np.asarray([x, y], float)
+        for poly in polys:
+            n = len(poly)
+            for i in range(n):
+                a = poly[i]
+                b = poly[(i + 1) % n]
+                e = b - a
+                L2 = float(e @ e)
+                t = float(np.clip(((q - a) @ e) / max(L2, 1e-300), 0, 1))
+                proj = a + t * e
+                d = float(np.hypot(*(q - proj)))
+                if best is None or d < best[0]:
+                    best = (d, poly, i)
+        if best is None:
+            raise ValueError("shape has no extractable boundary")
+        _, poly, i = best
+        n = len(poly)
+
+        def direction(j):
+            e = poly[(j + 1) % n] - poly[j]
+            return e / max(np.hypot(*e), 1e-300)
+
+        d0 = direction(i)
+        # walk backward/forward while collinear (straight polygon piece)
+        j0 = i
+        while True:
+            jp = (j0 - 1) % n
+            if jp == i or abs(np.cross(direction(jp), d0)) > 1e-6:
+                break
+            j0 = jp
+        j1 = i
+        while True:
+            jn = (j1 + 1) % n
+            if jn == j0 or abs(np.cross(direction(jn % n), d0)) > 1e-6:
+                break
+            j1 = jn
+        p1 = tuple(poly[j0])
+        p2 = tuple(poly[(j1 + 1) % n])
+        return EdgeSelection(p1, p2)
 
 
 def _bbox_union(a, b):
@@ -292,3 +407,111 @@ def Polygon(vertices) -> Shape:
     v = np.asarray(vertices, float)
     bbox = (v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
     return Shape(_PolySDF(v), [tuple(p) for p in v], bbox)
+
+
+# ---------------------------------------------------------------------------
+# Polygon extraction / export (ref rama keeps polygon sets natively via
+# Clipper; here they are recovered from the SDF zero level set)
+
+
+def _dp_open(pts: Array, tol: float, keep_mask: np.ndarray, off: int):
+    """Douglas-Peucker on an open chain pts (marks kept indices in
+    keep_mask at offset off); iterative stack, max-deviation guarantee."""
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a = pts[i]
+        b = pts[j]
+        e = b - a
+        L = np.hypot(*e)
+        seg = pts[i + 1:j]
+        if L < 1e-300:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(
+                e[0] * (seg[:, 1] - a[1]) - e[1] * (seg[:, 0] - a[0])
+            ) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep_mask[off + m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+
+
+def _simplify_collinear(poly: Array, tol: float) -> Array:
+    """Simplify a closed ring with max-deviation tol (Douglas-Peucker):
+    straight runs collapse to single segments; curves keep enough
+    vertices that the polyline stays within tol of the samples."""
+    poly = np.asarray(poly, float)
+    n = len(poly)
+    if n < 4:
+        return poly
+    # anchor the ring at two extreme points (guaranteed on the hull)
+    i0 = int(np.argmin(poly[:, 0] + poly[:, 1]))
+    rolled = np.roll(poly, -i0, axis=0)
+    i1 = int(np.argmax(
+        np.hypot(rolled[:, 0] - rolled[0, 0], rolled[:, 1] - rolled[0, 1])
+    ))
+    keep = np.zeros(n + 1, bool)
+    keep[0] = keep[i1] = keep[n] = True     # n is the wrapped copy of 0
+    closed = np.concatenate([rolled, rolled[:1]])
+    _dp_open(closed[: i1 + 1], tol, keep, 0)
+    _dp_open(closed[i1:], tol, keep, i1)
+    return closed[:-1][keep[:-1]]
+
+
+def extract_polygons(shape: Shape, resolution: int = 256,
+                     simplify_tol: float = None) -> List[Array]:
+    """Trace the zero level set of the shape's SDF into closed polygons
+    (contourpy marching squares over the padded bbox), then collapse
+    collinear vertices so straight sides come back as single edges.
+
+    The reference's Shape IS a polygon set (Clipper paths,
+    rama/shape.h); this is the export/Select-facing equivalent view of
+    the SDF-CSG representation."""
+    from contourpy import contour_generator
+
+    assert shape.bbox is not None, "shape must carry a bounding box"
+    xmin, ymin, xmax, ymax = shape.bbox
+    pad = 0.05 * max(xmax - xmin, ymax - ymin) + 1e-9
+    xs = np.linspace(xmin - pad, xmax + pad, resolution)
+    ys = np.linspace(ymin - pad, ymax + pad, resolution)
+    X, Y = np.meshgrid(xs, ys)
+    Z = shape.distance(np.stack([X.ravel(), Y.ravel()], 1)).reshape(X.shape)
+    gen = contour_generator(x=X, y=Y, z=Z)
+    lines = gen.lines(0.0)
+    if simplify_tol is None:
+        # half a grid cell: marching squares chamfers sharp corners at
+        # sub-cell scale; this tolerance absorbs the chamfer so straight
+        # sides meet in single vertices, while curves stay within half a
+        # cell of the samples
+        simplify_tol = 0.5 * max(xs[1] - xs[0], ys[1] - ys[0])
+    polys = []
+    for line in lines:
+        line = np.asarray(line)
+        if len(line) >= 4 and np.allclose(line[0], line[-1]):
+            line = line[:-1]
+        if len(line) < 3:
+            continue
+        poly = _simplify_collinear(line, simplify_tol)
+        if len(poly) >= 3:
+            polys.append(poly)
+    return polys
+
+
+def shape_to_dxf(shape: Shape, path: str, resolution: int = 512,
+                 layer: str = "0") -> int:
+    """Export the shape boundary as closed DXF polylines (the
+    reference's CAD-exchange role, toolkit/dxf.h).  Returns the number
+    of polylines written."""
+    from eggshell_tpu.utils.dxf import DxfWriter
+
+    polys = extract_polygons(shape, resolution)
+    w = DxfWriter()
+    for poly in polys:
+        w.add_polyline([tuple(p) for p in poly], closed=True, layer=layer)
+    w.save(path)
+    return len(polys)
