@@ -82,6 +82,82 @@ def sharded_rollout(
     return jax.jit(fn)(spec, states)
 
 
+def sharded_mppi_update(
+    spec: SceneSpec,
+    state: State,
+    cfg: SimConfig,
+    mean_controls: jax.Array,
+    key: jax.Array,
+    cost_fn,
+    mesh: Mesh,
+    controlled_body: int = 0,
+    num_samples: int = 256,
+    noise_sigma: float = 1.0,
+    temperature: float = 1.0,
+    noise_mode: str = "white",
+    axis: str = "batch",
+):
+    """Distributed MPPI update, bit-matching `mpc.sampling.mppi_update`
+    up to reduction order: the SAME noise tensor is drawn from the SAME
+    key, the sample axis is sharded over the mesh (each device rolls out
+    its shard), and the soft-min weights are normalized with pmin/psum
+    collectives.  Returns (new_mean_controls, costs) with costs sharded.
+
+    This is the production multi-chip MPC step (SURVEY.md §2.9): rollout
+    compute is embarrassingly parallel; only three scalars/(H, 6)
+    tensors cross ICI per iteration."""
+    from eggshell_tpu.mpc.sampling import rollout_controlled
+
+    H = mean_controls.shape[0]
+    n_dev = mesh.devices.size
+    assert num_samples % n_dev == 0, "num_samples must divide the mesh"
+
+    # identical sampling to the local path (same key, same order)
+    if noise_mode == "constant":
+        eps = (
+            jax.random.normal(key, (num_samples, 1, 6), mean_controls.dtype)
+            * noise_sigma
+        )
+        eps = jnp.broadcast_to(eps, (num_samples, H, 6))
+    else:
+        eps = (
+            jax.random.normal(key, (num_samples, H, 6), mean_controls.dtype)
+            * noise_sigma
+        )
+    ctrls = mean_controls[None] + eps
+    ctrls = jax.device_put(ctrls, NamedSharding(mesh, P(axis)))
+
+    def local(spec_rep, state_rep, mc, ctrls_shard):
+        def one(c):
+            final, run = rollout_controlled(
+                spec_rep, state_rep, cfg, c, controlled_body
+            )
+            return cost_fn(final) + run
+
+        costs = jax.vmap(one)(ctrls_shard)
+        beta = jax.lax.pmin(jnp.min(costs), axis)
+        w = jnp.exp(-(costs - beta) / temperature)
+        wsum = jax.lax.psum(jnp.sum(w), axis)
+        contrib = jnp.einsum("s,shc->hc", w, ctrls_shard) / wsum
+        new_mean = jax.lax.psum(contrib, axis)
+        return new_mean, costs
+
+    rep = P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: rep, spec),
+            jax.tree_util.tree_map(lambda _: rep, state),
+            rep,
+            P(axis),
+        ),
+        out_specs=(rep, P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(spec, state, mean_controls, ctrls)
+
+
 def sharded_mean_cost(
     cost_per_scenario: jax.Array, mesh: Mesh, axis: str = "batch"
 ) -> jax.Array:

@@ -29,7 +29,10 @@ except RuntimeError:
     jax.config.update("jax_platforms", "")
 
 
-def main(per_device_batch: int = 256, horizon: int = 20):
+def main(per_device_batch: int = 256, horizon: int = 20,
+         artifact: str = None):
+    import platform
+
     from eggshell_tpu.parallel import mesh as pmesh
     from eggshell_tpu.physics import scenes
     from eggshell_tpu.utils.config import SimConfig, SolverKind
@@ -42,9 +45,8 @@ def main(per_device_batch: int = 256, horizon: int = 20):
     spec, state = scenes.box_stack(4, dtype=dtype)
     ndev_all = len(jax.devices())
     counts = sorted({1, 2, ndev_all} & set(range(1, ndev_all + 1)))
-    results = []
-    for nd in counts:
-        B = per_device_batch * nd
+
+    def run(nd, B):
         states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
         )
@@ -52,26 +54,74 @@ def main(per_device_batch: int = 256, horizon: int = 20):
         states = pmesh.shard_batch(m, states)
         out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        rps = B / dt
+        best = float("inf")
+        for _ in range(3):          # best-of-3: the host may be shared
+            t0 = time.perf_counter()
+            out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return B / best
+
+    results = []
+    record = {
+        "backend": jax.default_backend(),
+        "devices_total": ndev_all,
+        "cpu_count": __import__("os").cpu_count(),
+        "platform": platform.platform(),
+        "horizon": horizon,
+        "per_device_batch": per_device_batch,
+        "weak_scaling": [],
+    }
+    for nd in counts:
+        B = per_device_batch * nd
+        rps = run(nd, B)
         results.append((nd, rps))
-        print(json.dumps({
+        row = {
             "devices": nd, "batch": B, "rollouts_per_s": round(rps, 1),
             "per_device": round(rps / nd, 1),
-        }))
+        }
+        record["weak_scaling"].append(row)
+        print(json.dumps(row))
     if len(results) > 1:
         base = results[0][1] / results[0][0]
         eff = results[-1][1] / results[-1][0] / base
-        print(json.dumps({
+        summary = {
             "metric": "weak-scaling efficiency",
             "devices": results[-1][0],
             "value": round(eff, 3),
             "target": 0.9,
-        }))
+        }
+        record["weak_scaling_efficiency"] = summary
+        print(json.dumps(summary))
+
+        # fixed-total-work control: on an oversubscribed virtual-device
+        # CPU mesh the 1-device baseline uses ALL cores via XLA intra-op
+        # parallelism, so the weak-scaling figure is a LOWER bound; this
+        # control isolates the pure sharding/collective overhead (1.0 =
+        # sharding is free at equal total compute).
+        B_fix = per_device_batch * counts[-1]
+        r1 = run(1, B_fix)
+        rN = run(counts[-1], B_fix)
+        ctrl = {
+            "metric": "sharding overhead control "
+                      "(fixed total batch, t1/tN)",
+            "devices": counts[-1],
+            "batch": B_fix,
+            "value": round(rN / r1, 3),
+            "note": "1.0 means sharding adds no overhead at equal "
+                    "total compute; virtual CPU devices share the "
+                    "physical cores so this, not the weak-scaling row, "
+                    "measures the sharding machinery itself",
+        }
+        record["sharding_overhead_control"] = ctrl
+        print(json.dumps(ctrl))
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    art = sys.argv[1] if len(sys.argv) > 1 else None
+    main(artifact=art)
