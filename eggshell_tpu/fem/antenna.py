@@ -6,7 +6,7 @@ ref rama/solver.h:208-224).
 with outward normal n and far direction r-hat,
 
   F(phi) = sum over ABC edges of
-           L_e [ j k (n . r-hat) u_mid + du/dn ] exp(j k r-hat . r_mid)
+           L_e [ j k (n . r-hat) u_mid - du/dn ] exp(j k r-hat . r_mid)
 
 (the common factors of the 2D Green's function asymptotics are dropped —
 patterns are relative).  `directivity` = max/mean of |F|^2;
@@ -75,7 +75,13 @@ def antenna_pattern(
     rhat = np.stack([np.cos(angles), np.sin(angles)], axis=1)  # (A, 2)
     phase = np.exp(1j * k0 * (rhat @ mids.T))                  # (A, E)
     n_dot_r = rhat @ nrm.T                                     # (A, E)
-    integrand = (1j * k0 * n_dot_r * u_mid[None, :] + dudn[None, :])
+    # Green's identity with G ~ exp(+j k rhat.r') (engineering
+    # exp(+j w t), outgoing exp(-j k r)):
+    #   F = contour integral of [u dG/dn - G du/dn]
+    #     = sum e^{j k rhat.r'} [ j k (n.rhat) u  -  du/dn ] L_e
+    # (for an outgoing wave du/dn = -j k u, so the bracket peaks at
+    # 2 j k u in the facing direction and vanishes behind).
+    integrand = (1j * k0 * n_dot_r * u_mid[None, :] - dudn[None, :])
     return (integrand * phase) @ lens
 
 

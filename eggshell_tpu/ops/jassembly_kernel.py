@@ -78,25 +78,37 @@ def _quat_align_to_z(nx, ny, nz):
 
 
 def _jassembly_kernel(
-    b0_ref, b1_ref, pos_ref, nrm_ref, dep_ref, act_ref,
+    b0_ref, b1_ref, pos_ref, pos1_ref, nrm_ref, dep_ref, act_ref, eq_ref,
     p_ref, uhat_ref,
     jc_ref, rhs_ref,
     *, K, n, erp_dt2,
 ):
-    # refs: b0/b1/dep/act (K, 8, 128); pos/nrm (3K, 8, 128);
+    # refs: b0/b1/dep/act/eq (K, 8, 128); pos/pos1/nrm (3K, 8, 128);
     # p (3n, 8, 128); uhat (6n, 8, 128)
     # outputs: jc (K*3*12, 8, 128) rows-major; rhs (3K, 8, 128)
+    #
+    # eq > 0.5 marks a ball-joint (equality) lane: the slot anchor for
+    # slot 1 is pos1 (pos for slot 0), the slot signs flip relative to
+    # the contact convention (joint: slot0 lin = +I, ref joints.cc:21-28;
+    # contact: slot0 lin = -R, ref contact.cc:56-72), and the position
+    # error is the anchor gap a0 - a1 instead of (0, 0, -depth).
     for k in range(K):
         b0 = b0_ref[k]
         b1 = b1_ref[k]
         act = act_ref[k]
         dep = dep_ref[k]
+        eq = eq_ref[k]
         px, py, pz = pos_ref[3 * k], pos_ref[3 * k + 1], pos_ref[3 * k + 2]
+        p1x, p1y, p1z = (
+            pos1_ref[3 * k], pos1_ref[3 * k + 1], pos1_ref[3 * k + 2]
+        )
         nx, ny, nz = nrm_ref[3 * k], nrm_ref[3 * k + 1], nrm_ref[3 * k + 2]
 
         R = _quat_align_to_z(nx, ny, nz)  # 9 lane arrays, row-major
 
         act_f = jnp.where(act > 0.5, 1.0, 0.0)
+        eq_f = jnp.where(eq > 0.5, 1.0, 0.0)
+        sgn_flip = 1.0 - 2.0 * eq_f       # +1 contacts, -1 joints
 
         def body_gather(bsel, comp_ref, ncomp, stride):
             out = []
@@ -109,25 +121,35 @@ def _jassembly_kernel(
                 out.append(acc)
             return out
 
-        # slot data: (p_b, uhat_b, sign, valid)
+        # slot data: (anchor, p_b, uhat_b, sign, valid)
         slots = []
-        for bsel, sgn in ((b0, -1.0), (b1, 1.0)):
+        for bsel, sgn, anchor in (
+            (b0, -1.0, (px, py, pz)), (b1, 1.0, (p1x, p1y, p1z))
+        ):
             valid = jnp.where((bsel >= -0.5) & (act > 0.5), 1.0, 0.0)
             pb = body_gather(jnp.maximum(bsel, 0.0), p_ref, n, 3)
             ub = body_gather(jnp.maximum(bsel, 0.0), uhat_ref, n, 6)
-            slots.append((pb, ub, sgn, valid))
+            slots.append((anchor, pb, ub, sgn, valid))
 
-        # rhs accumulator rows (3,)
-        rhs_rows = [0.0 * b0, 0.0 * b0, -erp_dt2 * (-dep) * act_f]
+        # rhs accumulator rows: -erp/dt^2 * err
+        # contacts: err = (0, 0, -depth) in the contact frame;
+        # joints:   err = a0 - a1 in world (frame = identity there)
+        rhs_rows = [
+            -erp_dt2 * (eq_f * (px - p1x)) * act_f,
+            -erp_dt2 * (eq_f * (py - p1y)) * act_f,
+            -erp_dt2 * (eq_f * (pz - p1z) + (1.0 - eq_f) * (-dep)) * act_f,
+        ]
 
-        for s, (pb, ub, sgn, valid) in enumerate(slots):
-            cx, cy, cz = px - pb[0], py - pb[1], pz - pb[2]
+        for s, (anchor, pb, ub, sgn, valid) in enumerate(slots):
+            ax, ay, az = anchor
+            cx, cy, cz = ax - pb[0], ay - pb[1], az - pb[2]
             # CrossMat(c) row-major
             C = [0.0 * cx, -cz, cy, cz, 0.0 * cx, -cx, -cy, cx, 0.0 * cx]
-            # ang = sign * R @ C ; lin = sign * R (slot0 sign=-1 ... note
+            s_eff = sgn * sgn_flip
             # ref: slot0 lin = -R, ang = +R C0; slot1 lin = +R, ang = -R C1
+            # joints flip both signs (slot0 lin = +I, ang = -C0; ...)
             for r in range(3):
-                lin = [sgn * R[3 * r + c] * valid for c in range(3)]
+                lin = [s_eff * R[3 * r + c] * valid for c in range(3)]
                 ang = []
                 for c in range(3):
                     a = (
@@ -135,7 +157,7 @@ def _jassembly_kernel(
                         + R[3 * r + 1] * C[3 + c]
                         + R[3 * r + 2] * C[6 + c]
                     )
-                    ang.append(-sgn * a * valid)
+                    ang.append(-s_eff * a * valid)
                 base = (3 * k + r) * 12 + 6 * s
                 for c in range(3):
                     jc_ref[base + c] = lin[c]
@@ -166,11 +188,16 @@ def _pack(x, ncomp):
 def contact_jacobian_blocks(
     b0, b1, position, normal, depth, active, p, uhat,
     erp_dt2: float, interpret: bool = False, also_packed: bool = False,
+    position1=None, is_eq=None,
 ):
-    """Compact contact J blocks + rhs for a scenario batch.
+    """Compact constraint J blocks + rhs for a scenario batch.
 
     b0/b1 (B, K) int; position/normal (B, K, 3); depth/active (B, K);
     p (B, n, 3); uhat = u/dt + Minv F (B, n, 6).
+    `is_eq` (B, K) marks ball-joint lanes (equality rows; ref
+    joints.cc:13-35): their slot-1 anchor is `position1` (the body-1
+    anchor point a1; world anchor for b1 = -1) and their error is the
+    anchor gap — contacts leave position1 = position and is_eq = 0.
     Returns (Jc (B, 3K, 12), rhs (B, 3K)): columns 0:6 = slot0 (body b0)
     [lin|ang], 6:12 = slot1.  With `also_packed`, additionally returns
     the raw (nt, K*36, 8, 128) tile-layout Jc so downstream kernels
@@ -179,13 +206,19 @@ def contact_jacobian_blocks(
     B, K = b0.shape
     n = p.shape[1]
     dtype = position.dtype
+    if position1 is None:
+        position1 = position
+    if is_eq is None:
+        is_eq = jnp.zeros((B, K), dtype)
 
     b0t, _, _, nt = _pack(b0.astype(dtype), K)
     b1t, _, _, _ = _pack(b1.astype(dtype), K)
     post, _, _, _ = _pack(position, 3 * K)
+    pos1t, _, _, _ = _pack(position1, 3 * K)
     nrmt, _, _, _ = _pack(normal, 3 * K)
     dept, _, _, _ = _pack(depth, K)
     actt, _, _, _ = _pack(active.astype(dtype), K)
+    eqt, _, _, _ = _pack(is_eq.astype(dtype), K)
     pt, _, _, _ = _pack(p, 3 * n)
     ut, _, Bp, _ = _pack(uhat, 6 * n)
 
@@ -202,15 +235,15 @@ def contact_jacobian_blocks(
     jc, rhs = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[spec(K), spec(K), spec(3 * K), spec(3 * K), spec(K),
-                  spec(K), spec(3 * n), spec(6 * n)],
+        in_specs=[spec(K), spec(K), spec(3 * K), spec(3 * K), spec(3 * K),
+                  spec(K), spec(K), spec(K), spec(3 * n), spec(6 * n)],
         out_specs=(spec(K * 36), spec(3 * K)),
         out_shape=(
             jax.ShapeDtypeStruct((nt, K * 36, SUB, LANE), dtype),
             jax.ShapeDtypeStruct((nt, 3 * K, SUB, LANE), dtype),
         ),
         interpret=interpret,
-    )(b0t, b1t, post, nrmt, dept, actt, pt, ut)
+    )(b0t, b1t, post, pos1t, nrmt, dept, actt, eqt, pt, ut)
 
     def unpack(x, c):
         return x.transpose(0, 2, 3, 1).reshape(Bp, c)[:B]
@@ -219,6 +252,7 @@ def contact_jacobian_blocks(
     if also_packed:
         packed = {
             "jc": jc, "rhs": rhs, "b0": b0t, "b1": b1t, "act": actt,
+            "eq": eqt,
         }
         return Jc, unpack(rhs, 3 * K), packed
     return Jc, unpack(rhs, 3 * K)

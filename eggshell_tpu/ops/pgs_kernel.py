@@ -161,15 +161,17 @@ def _block_jacobi_kernel(A_ref, b_ref, diag_ref, eq_ref, lo_ref, hi_ref,
     x_ref[:] = jax.lax.fori_loop(0, iters, sweep, proj(b))
 
 
-def _jacobi_packed_kernel(a_ref, b_ref, act_ref, x_ref,
+def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
                           *, K, mp, mu, iters, omega, beta):
     # Blocks for ONE sublane stripe (128 scenarios); leading (nt, sub)
-    # dims are squeezed: a (mp*mp, L), b (3K, L), act (K, L); out (mp, L).
+    # dims are squeezed: a (mp*mp, L), b (3K, L), act/eq (K, L);
+    # out (mp, L).  eq lanes (ball joints) are unclamped equality rows.
     L = LANES_PACKED
     m3 = 3 * K
     A = a_ref[:].reshape(mp, mp, L)
     b3 = b_ref[:]
     act = act_ref[:]
+    eq = eq_ref[:]
 
     pad = mp - m3
     zerosp = jnp.zeros((pad, L), b3.dtype)
@@ -177,10 +179,15 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, x_ref,
     # float masks throughout (Mosaic dislikes bool vector relayouts)
     act3 = jnp.broadcast_to(act[:, None, :], (K, 3, L)).reshape(m3, L)
     active = jnp.concatenate([act3, zerosp], axis=0)
+    eq3 = jnp.broadcast_to(eq[:, None, :], (K, 3, L)).reshape(m3, L)
     compi = jax.lax.broadcasted_iota(jnp.int32, (m3, L), 0)
     tangential = jnp.where(compi % 3 < 2, 1.0, 0.0).astype(b.dtype)
-    lo3 = jnp.where(tangential > 0.5, -mu, 0.0).astype(b.dtype)
-    hi3 = jnp.where(tangential > 0.5, mu, 3.4e38).astype(b.dtype)
+    lo3 = jnp.where(
+        eq3 > 0.5, -3.4e38, jnp.where(tangential > 0.5, -mu, 0.0)
+    ).astype(b.dtype)
+    hi3 = jnp.where(
+        (eq3 > 0.5) | (tangential < 0.5), 3.4e38, mu
+    ).astype(b.dtype)
     lo = jnp.concatenate([lo3, zerosp], axis=0)
     hi = jnp.concatenate([hi3, zerosp], axis=0)
 
@@ -230,20 +237,25 @@ def solve_lcp_jacobi_packed(
     omega: float = 0.3,
     beta: float = 0.45,
     interpret: bool = False,
+    eq_packed: jax.Array = None,   # (nt, K, 8, 128): joint lanes
 ) -> jax.Array:
     """Momentum projected-Jacobi on the PACKED tile pipeline (contact
-    box-friction bounds built in-kernel from the active mask).  Returns
-    lambda in jassembly packed layout (nt, mp, 8, 128) — feed the first
-    3K rows to ops/integrate_kernel."""
+    box-friction bounds built in-kernel from the active mask; eq lanes —
+    ball joints — run unclamped as equality rows).  Returns lambda in
+    jassembly packed layout (nt, mp, 8, 128) — feed the first 3K rows to
+    ops/integrate_kernel."""
     nt = A_packed.shape[0]
     dtype = A_packed.dtype
     m3 = 3 * K
     mp = ((m3 + _ROW_BLOCK - 1) // _ROW_BLOCK) * _ROW_BLOCK
     assert A_packed.shape[2] == mp * mp
+    if eq_packed is None:
+        eq_packed = jnp.zeros_like(act_packed)
 
     # small sublane-major views of the vectors (1MB-scale copies)
     rhs_s = rhs_packed.transpose(0, 2, 1, 3)   # (nt, 8, 3K, 128)
     act_s = act_packed.transpose(0, 2, 1, 3)   # (nt, 8, K, 128)
+    eq_s = eq_packed.transpose(0, 2, 1, 3)
 
     kernel = functools.partial(
         _jacobi_packed_kernel, K=K, mp=mp, mu=mu, iters=iters, omega=omega,
@@ -259,11 +271,11 @@ def solve_lcp_jacobi_packed(
     x = pl.pallas_call(
         kernel,
         grid=(nt, _SUB),
-        in_specs=[spec(mp * mp), spec(m3), spec(K)],
+        in_specs=[spec(mp * mp), spec(m3), spec(K), spec(K)],
         out_specs=spec(mp),
         out_shape=jax.ShapeDtypeStruct((nt, _SUB, mp, LANES_PACKED), dtype),
         interpret=interpret,
-    )(A_packed, rhs_s, act_s)
+    )(A_packed, rhs_s, act_s, eq_s)
     return x.transpose(0, 2, 1, 3)             # back to (nt, mp, 8, 128)
 
 

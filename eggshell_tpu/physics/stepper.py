@@ -170,7 +170,12 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     LCP -> integrate kernel.  The compact J blocks, system matrix, and
     impulses all stay in the packed (8x128 scenarios) tile layout — no
     XLA einsums or relayouts between kernels (SURVEY §2.8 item 3: the
-    whole contact solve is the kernel fast path)."""
+    whole contact solve is the kernel fast path).
+
+    Ball joints ride the same pipeline as always-active equality lanes
+    prepended before the contact lanes (matching the XLA row order,
+    physics/constraints.build_constraints): slot anchors a0/a1, identity
+    frame, unclamped bounds (ref joints.cc:13-35)."""
     from eggshell_tpu.ops.amat_kernel import contact_system_matrix_packed
     from eggshell_tpu.ops.integrate_kernel import integrate_step
     from eggshell_tpu.ops.jassembly_kernel import (
@@ -182,6 +187,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     B = states.p.shape[0]
     n = spec.num_bodies
     K = css.b0.shape[1]
+    Jn = spec.num_joints
     dtype = states.p.dtype
     interpret = jax.default_backend() != "tpu"
 
@@ -199,10 +205,55 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
         states, ext_forces
     )
 
+    if Jn > 0:
+        # joint anchor points per scene: a0 on body 0, a1 on body 1
+        # (world anchor joint_c1 when b1 = -1)
+        def anchors(state):
+            R = quat.quat_to_mat(state.q)
+            a0 = state.p[spec.joint_b0] + jnp.einsum(
+                "jik,jk->ji", R[spec.joint_b0], spec.joint_c0
+            )
+            anchored = spec.joint_b1 < 0
+            jb1 = jnp.where(anchored, 0, spec.joint_b1)
+            a1 = jnp.where(
+                anchored[:, None],
+                spec.joint_c1,
+                state.p[jb1] + jnp.einsum(
+                    "jik,jk->ji", R[jb1], spec.joint_c1
+                ),
+            )
+            return a0, a1
+
+        a0, a1 = jax.vmap(anchors)(states)
+        jb0 = jnp.broadcast_to(spec.joint_b0, (B, Jn)).astype(jnp.int32)
+        jb1 = jnp.broadcast_to(spec.joint_b1, (B, Jn)).astype(jnp.int32)
+        zhat = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], dtype), (B, Jn, 3)
+        )
+        b0 = jnp.concatenate([jb0, css.b0], axis=1)
+        b1 = jnp.concatenate([jb1, css.b1], axis=1)
+        pos = jnp.concatenate([a0, css.position], axis=1)
+        pos1 = jnp.concatenate([a1, css.position], axis=1)
+        nrm = jnp.concatenate([zhat, css.normal], axis=1)
+        dep = jnp.concatenate([jnp.zeros((B, Jn), dtype), css.depth], axis=1)
+        act = jnp.concatenate(
+            [jnp.ones((B, Jn), bool), css.active], axis=1
+        )
+        eq = jnp.concatenate(
+            [jnp.ones((B, Jn), dtype), jnp.zeros((B, K), dtype)], axis=1
+        )
+        Kx = Jn + K
+    else:
+        b0, b1, pos, pos1 = css.b0, css.b1, css.position, css.position
+        nrm, dep, act = css.normal, css.depth, css.active
+        eq = None
+        Kx = K
+
     _, _, packed = contact_jacobian_blocks(
-        css.b0, css.b1, css.position, css.normal, css.depth, css.active,
+        b0, b1, pos, nrm, dep, act,
         states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
         interpret=interpret, also_packed=True,
+        position1=pos1, is_eq=eq,
     )
 
     inv_ig = Minv[:, :, 3:, 3:]                       # (B, n, 3, 3)
@@ -212,17 +263,17 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
 
     A_packed = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
-        invm_packed, invig_packed, K=K, n=n,
+        invm_packed, invig_packed, K=Kx, n=n,
         cfm=float(cfg.cfm_always), interpret=interpret,
     )
     lam_packed = solve_lcp_jacobi_packed(
-        A_packed, packed["rhs"], packed["act"], K=K,
+        A_packed, packed["rhs"], packed["act"], K=Kx,
         mu=float(cfg.friction_bound), iters=cfg.solver_iters,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
-        interpret=interpret,
+        interpret=interpret, eq_packed=packed["eq"],
     )
     pn, qn, vn, wn = integrate_step(
-        None, None, css.b0, css.b1, states.p, states.q, states.v,
+        None, None, b0, b1, states.p, states.q, states.v,
         states.w, Minv, F, dt=float(cfg.dt), interpret=interpret,
         jc_packed=packed["jc"], lam_packed=lam_packed,
     )
@@ -249,7 +300,6 @@ def step_ode_batched(
     use_fused_pre = (
         cfg.solver == SolverKind.JACOBI_KERNEL
         and cfg.friction_model == _FM.BOX
-        and spec.num_joints == 0
         and not cfg.conditional_cfm
     )
     if use_fused_pre:

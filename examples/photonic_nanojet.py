@@ -27,7 +27,7 @@ def main(out_dir="."):
     box.ABC((0, 0), (0, 6))
     lens = Circle(3.0, 3.0, 1.2)
     box.Paint(lens, epsilon=2.56)        # n = 1.6 cylinder
-    mesh = mesh_shape(box, 0.12)
+    mesh = mesh_shape(box, 0.07)   # >= 10k nodes: the sparse solve path
 
     cfg = FemConfig(type="EZ", frequency=299792458.0 / 1e-6, unit=1e-6,
                     excited_port=0)

@@ -182,3 +182,51 @@ def test_antenna_pattern_isotropic_monopole():
     cx, cy = phase_center(mesh, np.asarray(sol.field), k0, angles,
                           search_radius=0.4, grid=9)
     assert abs(cx) < 0.15 and abs(cy) < 0.15, (cx, cy)
+
+
+def test_antenna_pattern_boresight_and_aperture_scaling():
+    """Kirchhoff pattern regression (the sign of du/dn in the Green's
+    identity inverts the pattern if wrong): an open-ended waveguide
+    radiates a boresight-peaked beam, and a wider (horn) aperture gives
+    a narrower beam / higher directivity (ref ComputeAntennaPattern,
+    rama/solver.h:208-224)."""
+    import numpy as np
+
+    from eggshell_tpu.fem.antenna import antenna_pattern, directivity
+    from eggshell_tpu.fem.helmholtz import FemConfig, solve_driven
+    from eggshell_tpu.fem.mesher import mesh_shape
+    from eggshell_tpu.fem.shape import Polygon, Rectangle
+
+    a = 22.86
+    cfg = FemConfig(type="EZ", frequency=10e9, unit=1e-3, excited_port=1)
+    angles = np.radians(np.linspace(-90, 90, 181))
+
+    def pattern_of(cd, h=1.4):
+        mesh = mesh_shape(cd, h)
+        sol = solve_driven(mesh, cfg)
+        assert abs(sol.s_params[1]) < 0.35       # reasonably matched feed
+        return antenna_pattern(mesh, np.asarray(sol.field), cfg.k0, angles)
+
+    # open-ended guide
+    feed = Rectangle(-25, -a / 2, 0, a / 2)
+    free = Rectangle(0, -55, 60, 55)
+    cd = feed + free
+    cd.Port((-25, -a / 2), (-25, a / 2), 1)
+    cd.ABC((0, -55), (60, -55)).ABC((60, -55), (60, 55)).ABC((0, 55), (60, 55))
+    pat_open = pattern_of(cd)
+    p2 = np.abs(pat_open) ** 2
+    peak_deg = np.degrees(angles[int(np.argmax(p2))])
+    assert abs(peak_deg) < 6.0, peak_deg        # boresight beam
+    assert 10 * np.log10(p2[30] / p2.max()) < -6     # -60 deg well down
+    assert 10 * np.log10(p2[150] / p2.max()) < -6    # +60 deg well down
+
+    # horn: wider aperture -> higher directivity, narrower beam
+    horn = Polygon([(0.0, -a / 2), (25.0, -30.0), (25.0, 30.0), (0.0, a / 2)])
+    free2 = Rectangle(25, -60, 75, 60)
+    cdh = feed + horn + free2
+    cdh.Port((-25, -a / 2), (-25, a / 2), 1)
+    cdh.ABC((25, -60), (75, -60)).ABC((75, -60), (75, 60)).ABC((25, 60), (75, 60))
+    pat_horn = pattern_of(cdh)
+    assert directivity(pat_horn) > 1.3 * directivity(pat_open)
+    ph2 = np.abs(pat_horn) ** 2
+    assert abs(np.degrees(angles[int(np.argmax(ph2))])) < 6.0

@@ -249,3 +249,69 @@ def test_amat_kernel_matches_xla_system_matrix():
                 assert abs(row[i] - 1.0) < 1e-6
                 row[i] = 0
                 assert np.all(np.abs(row) < 1e-6)
+
+
+def test_fused_step_kernel_with_joints_matches_xla():
+    """Ball-joint (equality) lanes ride the fused kernel pipeline: a
+    pendulum chain AND a jointed pair resting on the ground (joints +
+    frictional contacts together) match the vmapped XLA path step for
+    step (bench config #2; ref joints.cc:13-35)."""
+    import numpy as np
+
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.scenes import make_scene
+    from eggshell_tpu.physics.stepper import step_ode_batched
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    dtype = jnp.float32
+    base = dict(solver_iters=8, solver_tol=0.0, jacobi_omega=0.3,
+                conditional_cfm=False, cfm_always=0.01, contact_capacity=8)
+    cfg_kernel = SimConfig(solver=SolverKind.JACOBI_KERNEL, **base)
+    cfg_xla = SimConfig(solver=SolverKind.JACOBI, **base)
+
+    # jointed pair on the ground: equality + contact lanes simultaneously
+    c1 = np.array([0.15, 0.15, 0.15])
+    c2 = np.array([-0.15, -0.15, -0.15])
+    spec, state = make_scene(
+        [[0.0, 0.0, 0.149], [0.32, 0.32, 0.2]],
+        joints=[(0, 1, c1, c2)],
+        ground=True,
+        dtype=dtype,
+    )
+    assert spec.num_joints == 1
+
+    B = 4
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+    )
+    states = states._replace(
+        p=states.p + jnp.linspace(0, 1e-3, B)[:, None, None].astype(dtype)
+    )
+    # settle into contact on the cheap XLA path first
+    for _ in range(3):
+        states = step_ode_batched(spec, states, cfg_xla)
+
+    sk = sx = states
+    for _ in range(3):
+        sk = step_ode_batched(spec, sk, cfg_kernel)
+        sx = step_ode_batched(spec, sx, cfg_xla)
+    np.testing.assert_allclose(np.asarray(sk.p), np.asarray(sx.p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sk.q), np.asarray(sx.q), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sk.v), np.asarray(sx.v), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sk.w), np.asarray(sx.w), atol=5e-4)
+
+    # pure-joint scene (pendulum chain) also takes the kernel path
+    spec2, state2 = scenes.pendulum_chain(3, dtype=dtype)
+    states2 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state2
+    )
+    sk2 = sx2 = states2
+    for _ in range(3):
+        sk2 = step_ode_batched(spec2, sk2, cfg_kernel)
+        sx2 = step_ode_batched(spec2, sx2, cfg_xla)
+    np.testing.assert_allclose(
+        np.asarray(sk2.p), np.asarray(sx2.p), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sk2.q), np.asarray(sx2.q), atol=2e-5
+    )
