@@ -258,3 +258,32 @@ def test_wideband_pulse_band_is_localized():
     x_peak1 = xs[np.argmax(np.abs(frames[1]))]
     # packet moves ~c*(t1-t0) = 0.9 m
     assert abs((x_peak1 - x_peak0) - c * (t1 - t0)) < 0.1
+
+
+def test_alma_coupler_matches_reference():
+    """The WR-10 branch-line coupler of rama/tests/test_ALMA_coupler.lua
+    (ALMA memo 468): excited at port 1, the through/coupled ports carry
+    -2.70 / -3.35 dB (the reference's recorded values), the near ports
+    are isolated below -25 dB, and the lossless 4-port conserves power.
+    The reference gates its own mesh at 0.01 dB; across meshers the
+    through-port powers agree within ~0.1 dB while the deep isolation
+    nulls are mesh-sensitive (checked as bounds)."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "alma_coupler", os.path.join(root, "examples", "alma_coupler.py")
+    )
+    alma = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(alma)
+
+    mesh, sol = alma.solve(h=0.1)
+    p = {i: abs(sol.s_params[i]) ** 2 for i in (1, 2, 3, 4)}
+    db = {i: 10 * np.log10(max(v, 1e-30)) for i, v in p.items()}
+    assert abs(db[3] - (-2.70)) < 0.2, db
+    assert abs(db[4] - (-3.35)) < 0.2, db
+    assert db[1] < -25 and db[2] < -25, db
+    assert abs(sum(p.values()) - 1.0) < 0.01, p
