@@ -202,3 +202,54 @@ def test_multihost_launcher_two_processes(tmp_path):
     line = [l for l in proc.stdout.splitlines() if "max |dp|" in l][-1]
     rec = json.loads(line)
     assert rec["pass"] and rec["value"] < 1e-9
+
+
+def test_rollout_divergence_monitor():
+    """In-rollout divergence detection + masked degradation (SURVEY
+    §5.3): scenarios seeded with absurd velocities are flagged and
+    frozen at their last good state; healthy scenarios are bit-identical
+    to the unmonitored rollout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eggshell_tpu.parallel.rollout import (
+        rollout_batched,
+        rollout_batched_monitored,
+    )
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    cfg = SimConfig(
+        solver=SolverKind.JACOBI, solver_iters=20, jacobi_omega=0.3,
+        conditional_cfm=False, cfm_always=0.01, contact_capacity=20,
+    )
+    spec, state = scenes.box_stack(3, dtype=jnp.float64)
+    B = 6
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+    )
+    # poison scenarios 1 and 4 with enormous velocities
+    bad = jnp.asarray([False, True, False, False, True, False])
+    states = states._replace(
+        v=jnp.where(bad[:, None, None], 1e9, states.v)
+    )
+
+    final, diags = rollout_batched_monitored(
+        spec, states, cfg, 20, speed_limit=1e3
+    )
+    assert int(diags["diverged_count"]) == 2
+    np.testing.assert_array_equal(np.asarray(diags["diverged"]),
+                                  np.asarray(bad))
+    # diverged scenarios flagged on the FIRST step and frozen finite
+    fb = np.asarray(diags["first_bad_step"])
+    assert (fb[np.asarray(bad)] == 0).all()
+    assert (fb[~np.asarray(bad)] == 20).all()
+    assert np.isfinite(np.asarray(final.p)).all()
+
+    # healthy scenarios match the unmonitored rollout exactly
+    plain = rollout_batched(spec, states, cfg, 20)
+    ok = ~np.asarray(bad)
+    np.testing.assert_array_equal(
+        np.asarray(final.p)[ok], np.asarray(plain.p)[ok]
+    )
