@@ -35,10 +35,14 @@ def _load() -> ctypes.CDLL:
     if not os.path.exists(so) or (
         os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
     ):
+        # build to a per-process temp file then rename atomically so
+        # concurrent test workers cannot race on a half-written .so
+        tmp = f"{so}.build.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", so, src],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, src],
             check=True, cwd=d,
         )
+        os.replace(tmp, so)
     lib = ctypes.CDLL(so)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int)

@@ -6,3 +6,4 @@ from eggshell_tpu.viz.scene_view import (  # noqa: F401
     draw_mesh,
     save_trajectory_animation,
 )
+from eggshell_tpu.viz.interactive import InteractiveViewer  # noqa: F401

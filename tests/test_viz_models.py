@@ -86,3 +86,43 @@ def test_model_random_search():
     m = Model(lambda p: p, [Parameter("a", 0, 1)], output=output)
     best, fval = m.optimize("random_search", num_samples=500)
     assert fval < 0.02
+
+
+def test_interactive_viewer_step_loop(tmp_path):
+    """The eggshell_view run/step-loop analog (ref eggshell_view.cc:
+    497-554): programmatic step/run/reset controls advance the sim and
+    render frames headlessly."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+    from eggshell_tpu.viz import InteractiveViewer
+
+    cfg = SimConfig(solver=SolverKind.PGS, solver_iters=30,
+                    conditional_cfm=False, cfm_always=0.01,
+                    contact_capacity=16)
+    spec, state = scenes.box_drop(height=0.5)
+    v = InteractiveViewer(spec, state, cfg, steps_per_frame=10)
+
+    z0 = float(v.state.p[0, 2])
+    v.step_once()
+    v.step_once()
+    assert v.sim_steps == 20
+    assert float(v.state.p[0, 2]) < z0          # the box is falling
+    assert not v.running
+    v.toggle_running()
+    assert v.running
+    ax = v.render_frame()
+    assert ax is not None
+    v.reset()
+    assert v.sim_steps == 0
+    assert float(v.state.p[0, 2]) == z0
+    # headless event-loop fallback records an animation
+    out = str(tmp_path / "run.gif")
+    v.run_headless(out, frames=3, fps=5)
+    import os
+
+    assert os.path.getsize(out) > 1000
