@@ -16,5 +16,7 @@
              (ref toolkit/fdtd.{h,cc}).
 """
 
-from eggshell_tpu.fem.shape import Shape, Rectangle, Circle, Polygon  # noqa: F401
+from eggshell_tpu.fem.shape import (  # noqa: F401
+    Shape, Rectangle, Circle, Polygon, Polyline,
+)
 from eggshell_tpu.fem.mesher import Mesh, mesh_shape  # noqa: F401

@@ -512,11 +512,16 @@ def _port_quantities(pp: PortPlan, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff,
 
 
 def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
-                      plan: DrivenPlan):
+                      plan: DrivenPlan, return_flux: bool = False):
     """Assemble + solve + project S-parameters.  Pure jnp function of the
     traced inputs; static structure from `plan`.
 
-    Returns (u (N,) complex, s (num_ports, num_modes) complex)."""
+    Returns (u (N,) complex, s (num_ports, num_modes) complex); with
+    `return_flux` also the per-port-mode power-flux weights
+    Re(beta_w) * int psi^2 dt (num_ports, num_modes) used to convert the
+    field-amplitude s into power waves across dissimilar ports
+    (the reference computes outgoing POWER separately for the same
+    reason, ComputePortOutgoingPower, rama/solver.h:185-197)."""
     cfg = plan.config
     dtype = _cdtype()
     N = plan.N
@@ -674,6 +679,8 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
     # (ref ComputePortOutgoingField2, rama/solver.cc:940-990)
     max_modes = max([pp.num_modes for pp in plan.ports], default=0)
     s = jnp.zeros((plan.num_ports, max_modes), dtype)
+    rdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    flux = jnp.zeros((plan.num_ports, max_modes), rdtype)
     for i, (pp, prof, alphas, Bp) in enumerate(port_aux):
         up = u[jnp.asarray(pp.nodes)]
         Bpm = prof @ Bp
@@ -682,6 +689,12 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
         if pp.number == cfg.excited_port:
             amp = amp.at[cfg.excited_mode - 1].add(-1.0)
         s = s.at[i, : pp.num_modes].set(amp)
+        # power flux of a unit-amplitude mode: Re(W_n beta_m) int psi^2
+        # (zero for evanescent modes — they carry no power)
+        fl = jnp.real(-1j * alphas) * jnp.real(denom)
+        flux = flux.at[i, : pp.num_modes].set(fl)
+    if return_flux:
+        return u, s, flux
     return u, s
 
 
@@ -712,11 +725,17 @@ def make_driven_fn(mesh: Mesh, config: FemConfig, num_modes: int = 1,
 @dataclasses.dataclass
 class DrivenSolution:
     field: jnp.ndarray            # (N,) complex nodal field
-    s_params: Dict[int, complex]  # port -> S_{port, excited} (mode 1)
-    port_power: Dict[int, float]  # |S|^2 outgoing power fraction
+    s_params: Dict[int, complex]  # port -> S_{port, excited} (mode 1),
+                                  # field-amplitude convention (ref
+                                  # mode-fit amplitudes, solver.cc:940-990)
+    port_power: Dict[int, float]  # outgoing power fraction per port
+                                  # (flux-normalized: sums to 1 lossless
+                                  # even across dissimilar port widths)
     k0: float
     s_matrix: Optional[np.ndarray] = None   # (num_ports, num_modes)
     port_numbers: Optional[List[int]] = None
+    s_power: Optional[np.ndarray] = None    # power-wave S-matrix:
+                                            # s * sqrt(flux/flux_excited)
 
 
 def solve_driven(
@@ -728,12 +747,16 @@ def solve_driven(
 
     `point_source` = (x, y): unit excitation at the nearest mesh node
     (line-current analog) — used for radiation/antenna problems."""
-    fn, plan = make_driven_fn(
+    _, plan = make_driven_fn(
         mesh, config, num_modes=num_modes, numerical_modes=numerical_modes,
         point_source=point_source, solver=solver,
     )
     dtype = _cdtype()
-    u, s = jax.jit(fn)(
+
+    def fn_flux(*args):
+        return solve_driven_core(*args, plan, return_flux=True)
+
+    u, s, flux = jax.jit(fn_flux)(
         jnp.asarray(mesh.points),
         jnp.asarray(mesh.epsilon, dtype),
         jnp.asarray(mesh.sigma_xx),
@@ -744,14 +767,27 @@ def solve_driven(
                     else jnp.float32),
     )
     s_np = np.asarray(s)
+    flux_np = np.asarray(flux)
+    ex_i = next(
+        (i for i, pp in enumerate(plan.ports)
+         if pp.number == config.excited_port),
+        None,
+    )
+    if ex_i is None:   # portless problem (point source / ES)
+        fx = 1.0
+        s_power = s_np.copy()
+    else:
+        fx = flux_np[ex_i, config.excited_mode - 1]
+        s_power = s_np * np.sqrt(np.maximum(flux_np, 0.0) / max(fx, 1e-300))
     s_params = {}
     power = {}
     for i, pp in enumerate(plan.ports):
         s_params[pp.number] = complex(s_np[i, 0])
-        power[pp.number] = float(np.abs(s_np[i, 0]) ** 2)
+        power[pp.number] = float(np.sum(np.abs(s_power[i]) ** 2))
     return DrivenSolution(
         field=u, s_params=s_params, port_power=power, k0=config.k0,
         s_matrix=s_np, port_numbers=[pp.number for pp in plan.ports],
+        s_power=s_power,
     )
 
 

@@ -118,6 +118,48 @@ class _DiffSDF(_SDF):
 
 
 @dataclasses.dataclass
+class _PolylineSDF(_SDF):
+    """Stroked open polyline: distance to the centerline chain minus the
+    half-width — the analog of the reference's MakePolyline + Grow
+    stroking used to lay out curved guides (rama/shape.h:26-44,
+    examples/waveguide_bend.lua:33-43).  Exact SDF (capsule chain), so
+    joints are automatically rounded like Clipper's round-join grow."""
+
+    verts: Array        # (n, 2) open chain
+    half_width: float
+
+    def __call__(self, pts):
+        v = self.verts
+        d = np.full(len(pts), np.inf)
+        for i in range(len(v) - 1):
+            a, b = v[i], v[i + 1]
+            e = b - a
+            w = pts - a[None, :]
+            t = np.clip((w @ e) / max(float(e @ e), 1e-300), 0.0, 1.0)
+            proj = a[None, :] + t[:, None] * e[None, :]
+            d = np.minimum(
+                d, np.hypot(pts[:, 0] - proj[:, 0], pts[:, 1] - proj[:, 1])
+            )
+        return d - self.half_width
+
+
+@dataclasses.dataclass
+class _ScaleSDF(_SDF):
+    """Anisotropically scaled shape (ref Shape:Scale, used by
+    examples/waveguide_modes.lua for elliptic guides).  The returned
+    value is a conservative distance bound (exact zero level set; the
+    magnitude is scaled by min|s|), which is all the mesher needs."""
+
+    a: _SDF
+    sx: float
+    sy: float
+
+    def __call__(self, pts):
+        q = np.stack([pts[:, 0] / self.sx, pts[:, 1] / self.sy], 1)
+        return self.a(q) * min(abs(self.sx), abs(self.sy))
+
+
+@dataclasses.dataclass
 class _OffsetSDF(_SDF):
     """Minkowski grow (d > 0) / shrink (d < 0) by |d| — the analog of the
     reference's Clipper polygon offsetting (rama/shape.h:26-44 Offset,
@@ -292,6 +334,20 @@ class Shape:
         )
         return Shape(_OffsetSDF(self.sdf, d), [], bbox)
 
+    def Scale(self, sx: float, sy: float = None) -> "Shape":
+        """Scale the shape about the origin (ref Shape:Scale —
+        examples/waveguide_modes.lua uses Circle():Scale(1, K) for
+        elliptic guides).  Painted boundaries/materials do not carry
+        over (they address old coordinates)."""
+        sy = sx if sy is None else sy
+        b = self.bbox
+        bbox = None if b is None else tuple(sorted([b[0] * sx, b[2] * sx]) +
+                                            sorted([b[1] * sy, b[3] * sy]))
+        if bbox is not None:
+            bbox = (bbox[0], bbox[2], bbox[1], bbox[3])
+        fixed = [(x * sx, y * sy) for x, y in self.fixed_points]
+        return Shape(_ScaleSDF(self.sdf, float(sx), float(sy)), fixed, bbox)
+
     def Paint(self, region: "Shape", epsilon: complex = 1.0,
               sigma_xx: float = 1.0, sigma_yy: float = 1.0,
               sigma_xy: float = 0.0, excitation: complex = 0.0) -> "Shape":
@@ -401,6 +457,20 @@ def Circle(cx: float, cy: float, r: float, npoints: int = 0) -> Shape:
     return Shape(
         _CircleSDF(cx, cy, r), [], (cx - r, cy - r, cx + r, cy + r)
     )
+
+
+def Polyline(vertices, width: float) -> Shape:
+    """Stroke an open centerline into a guide of the given width — the
+    reference's Shape():AddPoint(...):MakePolyline() followed by
+    Grow(width/2) (rama/examples/waveguide_bend.lua:33-43).  Endpoints
+    become flat-capped only after Ports trim them; the raw stroke has
+    round caps (capsule chain), so feed lines should extend half a width
+    past where a flat end is needed, or intersect with a Rectangle."""
+    v = np.asarray(vertices, float)
+    hw = float(width) / 2.0
+    bbox = (v[:, 0].min() - hw, v[:, 1].min() - hw,
+            v[:, 0].max() + hw, v[:, 1].max() + hw)
+    return Shape(_PolylineSDF(v, hw), [], bbox)
 
 
 def Polygon(vertices) -> Shape:
