@@ -31,6 +31,31 @@ from eggshell_tpu.physics.stepper import step_ode
 from eggshell_tpu.utils.config import SimConfig
 
 
+# jit-callable cache: shard_map closures are rebuilt per call, which
+# would defeat jax.jit's function-identity cache and retrace/lower on
+# EVERY invocation (a full re-lowering per MPC iteration).  Key on the
+# static configuration + abstract (shape, dtype) signature instead.
+_JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 128
+
+
+def _abstract_key(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    sig = tuple(
+        (tuple(x.shape), jnp.result_type(x).name) if hasattr(x, "shape")
+        else x
+        for x in leaves
+    )
+    return treedef, sig
+
+
+def _cache_put(key, fn):
+    if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+        _JIT_CACHE.clear()
+    _JIT_CACHE[key] = fn
+    return fn
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
     """1-D mesh over the first n devices (default: all)."""
     devs = jax.devices()
@@ -58,6 +83,11 @@ def sharded_rollout(
     """Roll out a sharded scenario batch: vmap within each device,
     shard_map across the mesh.  Scenarios are independent, so the body
     contains no collectives; XLA keeps every shard resident."""
+    key = ("rollout", mesh, axis, int(num_steps), cfg,
+           _abstract_key(spec), _abstract_key(states))
+    cached = _JIT_CACHE.get(key)
+    if cached is not None:
+        return cached(spec, states)
 
     def local(spec_rep, states_shard):
         def one(st):
@@ -79,7 +109,7 @@ def sharded_rollout(
         out_specs=state_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(spec, states)
+    return _cache_put(key, jax.jit(fn))(spec, states)
 
 
 def sharded_mppi_update(
@@ -127,6 +157,13 @@ def sharded_mppi_update(
     ctrls = mean_controls[None] + eps
     ctrls = jax.device_put(ctrls, NamedSharding(mesh, P(axis)))
 
+    key = ("mppi", mesh, axis, cfg, cost_fn, int(controlled_body),
+           float(temperature), _abstract_key(spec), _abstract_key(state),
+           _abstract_key((mean_controls, ctrls)))
+    cached = _JIT_CACHE.get(key)
+    if cached is not None:
+        return cached(spec, state, mean_controls, ctrls)
+
     def local(spec_rep, state_rep, mc, ctrls_shard):
         def one(c):
             final, run = rollout_controlled(
@@ -155,13 +192,17 @@ def sharded_mppi_update(
         out_specs=(rep, P(axis)),
         check_vma=False,
     )
-    return jax.jit(fn)(spec, state, mean_controls, ctrls)
+    return _cache_put(key, jax.jit(fn))(spec, state, mean_controls, ctrls)
 
 
 def sharded_mean_cost(
     cost_per_scenario: jax.Array, mesh: Mesh, axis: str = "batch"
 ) -> jax.Array:
     """Global mean of a sharded per-scenario cost via psum over ICI."""
+    key = ("mean_cost", mesh, axis, _abstract_key(cost_per_scenario))
+    cached = _JIT_CACHE.get(key)
+    if cached is not None:
+        return cached(cost_per_scenario)
 
     def local(c):
         s = jnp.sum(c)
@@ -171,4 +212,4 @@ def sharded_mean_cost(
     fn = shard_map(
         local, mesh=mesh, in_specs=(P(axis),), out_specs=P(), check_vma=False
     )
-    return jax.jit(fn)(cost_per_scenario)
+    return _cache_put(key, jax.jit(fn))(cost_per_scenario)

@@ -18,10 +18,18 @@ Prints one JSON line per device count plus a summary efficiency figure.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# The ambient axon (tunneled-TPU) integration overrides JAX_PLATFORMS
+# and can hang connecting to the tunnel; when the caller asked for the
+# virtual CPU mesh, force it through the config API too (same fix as
+# tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 
 try:
     jax.devices()
@@ -62,14 +70,31 @@ def main(per_device_batch: int = 256, horizon: int = 20,
             best = min(best, time.perf_counter() - t0)
         return B / best
 
+    cpu_count = __import__("os").cpu_count()
+    virtual = jax.default_backend() == "cpu" and ndev_all > 1
     results = []
     record = {
         "backend": jax.default_backend(),
         "devices_total": ndev_all,
-        "cpu_count": __import__("os").cpu_count(),
+        "cpu_count": cpu_count,
         "platform": platform.platform(),
         "horizon": horizon,
         "per_device_batch": per_device_batch,
+        "interpretation": (
+            "virtual CPU mesh: the 1-device baseline already uses every "
+            "physical core via XLA intra-op parallelism, so the "
+            "weak-scaling rows measure core oversubscription, NOT "
+            "sharding cost; the sharding_overhead_control row (fixed "
+            "total batch, throughput_sharded / throughput_unsharded; "
+            ">=1.0 means the shard_map machinery is free) is the "
+            "meaningful machinery metric on this host. The >=0.9 "
+            "weak-scaling target is a real-multi-chip (ICI) metric — "
+            "see __graft_entry__.dryrun_multichip for the sharded-path "
+            "validation."
+            if virtual else
+            "real device mesh: weak_scaling_efficiency is the "
+            "BASELINE.json metric."
+        ),
         "weak_scaling": [],
     }
     for nd in counts:
@@ -91,6 +116,14 @@ def main(per_device_batch: int = 256, horizon: int = 20,
             "value": round(eff, 3),
             "target": 0.9,
         }
+        if virtual:
+            summary["host_core_bound"] = True
+            summary["note"] = (
+                f"{results[-1][0]} virtual devices share {cpu_count} "
+                "physical cores and the 1-device baseline is itself "
+                "multi-core — this row is a lower bound with no "
+                "sharding-cost signal; see sharding_overhead_control"
+            )
         record["weak_scaling_efficiency"] = summary
         print(json.dumps(summary))
 
@@ -116,6 +149,14 @@ def main(per_device_batch: int = 256, horizon: int = 20,
         record["sharding_overhead_control"] = ctrl
         print(json.dumps(ctrl))
     if artifact:
+        # lead with the meaningful machinery metric on virtual meshes
+        order = [
+            "backend", "devices_total", "cpu_count", "platform",
+            "horizon", "per_device_batch", "interpretation",
+            "sharding_overhead_control", "weak_scaling_efficiency",
+            "weak_scaling",
+        ]
+        record = {k: record[k] for k in order if k in record}
         with open(artifact, "w") as f:
             json.dump(record, f, indent=1)
 
