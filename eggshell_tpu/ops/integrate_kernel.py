@@ -28,12 +28,15 @@ TILE = SUB * LANE
 
 def _integrate_kernel(
     jc_ref, lam_ref, b0_ref, b1_ref,
-    p_ref, q_ref, v_ref, w_ref, minv_ref, f_ref,
+    p_ref, q_ref, v_ref, w_ref, invm_ref, invig_ref, f_ref,
     pn_ref, qn_ref, vn_ref, wn_ref,
     *, K, n, dt,
 ):
     # refs (rows, 8, 128): jc (K*36), lam (3K), b0/b1 (K), p (3n),
-    # q (4n), v (3n), w (3n), minv (n*36), f (6n)
+    # q (4n), v (3n), w (3n), invm (n), invig (9n), f (6n).
+    # M^-1 enters via its block structure: scalar inverse mass for the
+    # linear rows, 3x3 world inverse inertia for the angular rows
+    # (the full 6x6 block is never materialised).
     zero = 0.0 * lam_ref[0]
 
     # J^T lambda per body: (n, 6) lane accumulators
@@ -57,12 +60,13 @@ def _integrate_kernel(
     for b in range(n):
         # rhs = F + J^T lambda  (6,)
         rhs = [f_ref[6 * b + c] + jtl[b][c] for c in range(6)]
-        # vdot = Minv_b @ rhs
-        vdot = []
-        for i in range(6):
+        # vdot = [invm * rhs_lin; invIg @ rhs_ang]
+        invm = invm_ref[b]
+        vdot = [invm * rhs[c] for c in range(3)]
+        for i in range(3):
             acc = zero
-            for j in range(6):
-                acc = acc + minv_ref[36 * b + 6 * i + j] * rhs[j]
+            for j in range(3):
+                acc = acc + invig_ref[9 * b + 3 * i + j] * rhs[3 + j]
             vdot.append(acc)
 
         v = [v_ref[3 * b + c] for c in range(3)]
@@ -117,13 +121,17 @@ def _pack(x, ncomp):
 def integrate_step(
     Jc, lam, b0, b1, p, q, v, w, Minv, F, dt: float,
     interpret: bool = False, jc_packed=None, lam_packed=None,
+    invig_packed=None, f_packed=None, inv_mass=None,
 ):
     """Fused post-solve integration over a scenario batch.
 
     Jc (B, 3K, 12); lam (B, 3K); b0/b1 (B, K) int; p/v/w (B, n, 3);
     q (B, n, 4); Minv (B, n, 6, 6); F (B, n, 6).
     `jc_packed`: optional (nt, K*36, 8, 128) tile-layout Jc straight
-    from the jassembly kernel (skips a repack of the largest input).
+    from the jassembly kernel (skips a repack of the largest input);
+    `invig_packed`/`f_packed` likewise take the world inverse inertia
+    (nt, 9n, 8, 128) and forces (nt, 6n, 8, 128) straight from
+    ops/prep_kernel (then Minv / F may be None).
     Returns (p_new, q_new, v_new, w_new) with the leading batch dim."""
     B, K = b0.shape
     n = p.shape[1]
@@ -144,9 +152,22 @@ def integrate_step(
     pt, _, _, _ = _pack(p, 3 * n)
     qt, _, _, _ = _pack(q, 4 * n)
     vt, _, _, _ = _pack(v, 3 * n)
-    wt, _, _, _ = _pack(w, 3 * n)
-    mt, _, _, _ = _pack(Minv, n * 36)
-    ft, _, Bp, _ = _pack(F, 6 * n)
+    wt, _, Bp, _ = _pack(w, 3 * n)
+    if Minv is not None:
+        invmt, _, _, _ = _pack(Minv[:, :, 0, 0], n)
+        igt = invig_packed if invig_packed is not None else _pack(
+            Minv[:, :, 3:, 3:].reshape(B, 9 * n), 9 * n
+        )[0]
+    else:
+        # prep-kernel path: world inertia/forces already packed; the
+        # static per-body inverse masses broadcast to a constant plane
+        assert invig_packed is not None and f_packed is not None
+        assert inv_mass is not None
+        igt = invig_packed
+        invmt = jnp.broadcast_to(
+            inv_mass.reshape(1, n, 1, 1).astype(dtype), (nt, n, SUB, LANE)
+        )
+    ft = f_packed if f_packed is not None else _pack(F, 6 * n)[0]
 
     kernel = functools.partial(_integrate_kernel, K=K, n=n, dt=dt)
 
@@ -161,7 +182,7 @@ def integrate_step(
         grid=(nt,),
         in_specs=[spec(K * 36), spec(3 * K), spec(K), spec(K),
                   spec(3 * n), spec(4 * n), spec(3 * n), spec(3 * n),
-                  spec(n * 36), spec(6 * n)],
+                  spec(n), spec(9 * n), spec(6 * n)],
         out_specs=(spec(3 * n), spec(4 * n), spec(3 * n), spec(3 * n)),
         out_shape=(
             jax.ShapeDtypeStruct((nt, 3 * n, SUB, LANE), dtype),
@@ -170,7 +191,7 @@ def integrate_step(
             jax.ShapeDtypeStruct((nt, 3 * n, SUB, LANE), dtype),
         ),
         interpret=interpret,
-    )(jct, lamt, b0t, b1t, pt, qt, vt, wt, mt, ft)
+    )(jct, lamt, b0t, b1t, pt, qt, vt, wt, invmt, igt, ft)
 
     def unpack(x, c):
         return x.transpose(0, 2, 3, 1).reshape(Bp, c)[:B]

@@ -188,7 +188,7 @@ def _pack(x, ncomp):
 def contact_jacobian_blocks(
     b0, b1, position, normal, depth, active, p, uhat,
     erp_dt2: float, interpret: bool = False, also_packed: bool = False,
-    position1=None, is_eq=None,
+    position1=None, is_eq=None, uhat_packed=None,
 ):
     """Compact constraint J blocks + rhs for a scenario batch.
 
@@ -219,8 +219,11 @@ def contact_jacobian_blocks(
     dept, _, _, _ = _pack(depth, K)
     actt, _, _, _ = _pack(active.astype(dtype), K)
     eqt, _, _, _ = _pack(is_eq.astype(dtype), K)
-    pt, _, _, _ = _pack(p, 3 * n)
-    ut, _, Bp, _ = _pack(uhat, 6 * n)
+    pt, _, Bp, _ = _pack(p, 3 * n)
+    if uhat_packed is not None:
+        ut = uhat_packed          # straight from ops/prep_kernel
+    else:
+        ut, _, _, _ = _pack(uhat, 6 * n)
 
     kernel = functools.partial(
         _jassembly_kernel, K=K, n=n, erp_dt2=erp_dt2

@@ -183,6 +183,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
         contact_jacobian_blocks,
     )
     from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_packed
+    from eggshell_tpu.ops.prep_kernel import prep_packed
 
     B = states.p.shape[0]
     n = spec.num_bodies
@@ -191,18 +192,17 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     dtype = states.p.dtype
     interpret = jax.default_backend() != "tpu"
 
-    def per_scene(state, ext):
-        u = scn.pack_velocity(state)
-        Minv = scn.inv_mass_blocks(spec, state)
-        F = scn.external_forces(spec, state, cfg.gravity)
-        if ext is not None:
-            F = F + ext
-        MinvF = jnp.einsum("nij,nj->ni", Minv, F)
-        return u, Minv, F, u / cfg.dt + MinvF
-
-    in_axes = (0, 0 if ext_forces is not None else None)
-    u, Minv, F, uhat = jax.vmap(per_scene, in_axes=in_axes)(
-        states, ext_forces
+    # Body prep (R, world inertia, forces, uhat) as one packed kernel —
+    # the vmapped XLA equivalent ran at 3/128 lane occupancy.
+    ext_b = None
+    if ext_forces is not None:
+        ext_b = jnp.broadcast_to(ext_forces, (B, n, 6)) \
+            if ext_forces.ndim == 2 else ext_forces
+    uhat_p, invig_p, f_p = prep_packed(
+        states.q, states.v, states.w, spec.inv_mass,
+        spec.inertia_body, spec.inv_inertia_body,
+        dt=float(cfg.dt), gravity=tuple(cfg.gravity),
+        interpret=interpret, ext_forces=ext_b,
     )
 
     if Jn > 0:
@@ -251,19 +251,17 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
 
     _, _, packed = contact_jacobian_blocks(
         b0, b1, pos, nrm, dep, act,
-        states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        states.p, None, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
         interpret=interpret, also_packed=True,
-        position1=pos1, is_eq=eq,
+        position1=pos1, is_eq=eq, uhat_packed=uhat_p,
     )
 
-    inv_ig = Minv[:, :, 3:, 3:]                       # (B, n, 3, 3)
     invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
     invm_packed, _, _, _ = _pack(invm, n)
-    invig_packed, _, _, _ = _pack(inv_ig.reshape(B, 9 * n), 9 * n)
 
     A_packed = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
-        invm_packed, invig_packed, K=Kx, n=n,
+        invm_packed, invig_p, K=Kx, n=n,
         cfm=float(cfg.cfm_always), interpret=interpret,
     )
     lam_packed = solve_lcp_jacobi_packed(
@@ -274,8 +272,10 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     )
     pn, qn, vn, wn = integrate_step(
         None, None, b0, b1, states.p, states.q, states.v,
-        states.w, Minv, F, dt=float(cfg.dt), interpret=interpret,
+        states.w, None, None, dt=float(cfg.dt), interpret=interpret,
         jc_packed=packed["jc"], lam_packed=lam_packed,
+        invig_packed=invig_p, f_packed=f_p,
+        inv_mass=spec.inv_mass.astype(dtype),
     )
     return State(p=pn, v=vn, q=qn, w=wn)
 
