@@ -133,7 +133,7 @@ def _jacobi_sweep(A, b, x, is_eq, lo, hi, omega=1.0, couple=None, mu=0.0):
     jax.jit,
     static_argnames=(
         "iters", "method", "check_tol", "omega", "jacobi_omega",
-        "jacobi_beta",
+        "jacobi_beta", "jacobi_block",
     ),
 )
 def solve_lcp(
@@ -151,6 +151,7 @@ def solve_lcp(
     x0: Optional[jax.Array] = None,
     couple: Optional[jax.Array] = None,
     mu: float = 0.0,
+    jacobi_block: bool = False,
 ) -> jax.Array:
     """Iteratively solve the mixed LCP A x = b + w.
 
@@ -172,7 +173,51 @@ def solve_lcp(
     if method == "pgs":
         sweep = lambda xx, xp: (_gs_sweep(A, b, xx, is_eq, lo, hi, couple, mu), xx)
     elif method == "jacobi":
-        if jacobi_beta:
+        if jacobi_block:
+            # block-Jacobi: each 3-row constraint block solved exactly
+            # per sweep, the XLA twin of the packed kernel's block mode
+            # (ops/pgs_kernel._jacobi_packed_kernel, block=True) —
+            # identical update incl. the adjugate-inverse formulation.
+            m = b.shape[0]
+            assert m % 3 == 0, "block mode needs 3-row constraint blocks"
+            K3 = m // 3
+            idx = jnp.arange(K3)
+            Ablk = A.reshape(K3, 3, K3, 3)[idx, :, idx, :]   # (K3, 3, 3)
+            a = [[Ablk[:, r, c] for c in range(3)] for r in range(3)]
+            det = (
+                a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+            )
+            invdet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+            adj = [[None] * 3 for _ in range(3)]
+            adj[0][0] = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+            adj[0][1] = a[0][2] * a[2][1] - a[0][1] * a[2][2]
+            adj[0][2] = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+            adj[1][0] = a[1][2] * a[2][0] - a[1][0] * a[2][2]
+            adj[1][1] = a[0][0] * a[2][2] - a[0][2] * a[2][0]
+            adj[1][2] = a[0][2] * a[1][0] - a[0][0] * a[1][2]
+            adj[2][0] = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+            adj[2][1] = a[0][1] * a[2][0] - a[0][0] * a[2][1]
+            adj[2][2] = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+            Binv = jnp.stack(
+                [jnp.stack([adj[r][c] * invdet for c in range(3)], -1)
+                 for r in range(3)], -2
+            )                                                # (K3, 3, 3)
+
+            def sweep(xx, xp):
+                rv = b - A @ xx
+                y = xx + jnp.einsum(
+                    "krc,kc->kr", Binv, rv.reshape(K3, 3)
+                ).reshape(m)
+                lo_e, hi_e = _bounds(xx, lo, hi, couple, mu)
+                xn = project(
+                    (1.0 - jacobi_omega) * xx + jacobi_omega * y
+                    + jacobi_beta * (xx - xp),
+                    is_eq, lo_e, hi_e,
+                )
+                return xn, xx
+        elif jacobi_beta:
             # single projection around update+momentum, matching the
             # kernel exactly (ops/pgs_kernel.py:75-78)
             diag = jnp.diagonal(A)

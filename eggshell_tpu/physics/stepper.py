@@ -104,6 +104,7 @@ def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
         jacobi_beta=cfg.jacobi_beta,
         couple=sys.couple if coulomb else None,
         mu=cfg.friction_mu if coulomb else 0.0,
+        jacobi_block=bool(cfg.jacobi_block),
     )
 
 
@@ -269,6 +270,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
         mu=float(cfg.friction_bound), iters=cfg.solver_iters,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
         interpret=interpret, eq_packed=packed["eq"],
+        block=bool(cfg.jacobi_block),
     )
     pn, qn, vn, wn = integrate_step(
         None, None, b0, b1, states.p, states.q, states.v,

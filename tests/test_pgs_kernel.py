@@ -315,3 +315,40 @@ def test_fused_step_kernel_with_joints_matches_xla():
     np.testing.assert_allclose(
         np.asarray(sk2.q), np.asarray(sx2.q), atol=2e-5
     )
+
+
+def test_packed_block_mode_matches_xla_block_jacobi():
+    """The packed kernel's block-Jacobi mode (jacobi_block=True: exact
+    3x3 diagonal-block solves per sweep) matches the XLA twin
+    (ops/lcp.solve_lcp(jacobi_block=True)) through the full fused step
+    at equal sweeps."""
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.stepper import step_ode_batched
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    dtype = jnp.float32
+    base = dict(solver_iters=8, jacobi_omega=0.5, jacobi_beta=0.0,
+                jacobi_block=True, conditional_cfm=False,
+                cfm_always=0.01, contact_capacity=12)
+    cfg_kernel = SimConfig(solver=SolverKind.JACOBI_KERNEL, **base)
+    cfg_xla = SimConfig(solver=SolverKind.JACOBI, **base)
+    spec, state = scenes.box_stack(3, dtype=dtype)
+    B = 4
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+    )
+    states = states._replace(
+        p=states.p + jnp.linspace(0, 1e-3, B)[:, None, None].astype(dtype)
+    )
+    # a couple of warm steps so contacts are active and varied
+    warm = cfg_xla.replace(jacobi_block=False, solver_iters=30)
+    for _ in range(2):
+        states = step_ode_batched(spec, states, warm)
+
+    out_k = step_ode_batched(spec, states, cfg_kernel)
+    out_x = step_ode_batched(spec, states, cfg_xla)
+    for f in ("p", "v", "q", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_k, f)), np.asarray(getattr(out_x, f)),
+            atol=3e-5,
+        )
