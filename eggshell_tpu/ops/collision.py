@@ -221,8 +221,12 @@ def collide_boxes(p1, R1, hs1, p2, R2, hs2) -> PairContacts:
     # (a, b, 3)
     n_ab = jnp.cross(eye[:, None, :], R.T[None, :, :])
     n = n_ab.reshape(9, 3)
-    length = jnp.linalg.norm(n, axis=-1)
-    valid = length > TOL
+    # Double-where so reverse-mode stays NaN-free: parallel edge pairs
+    # make n exactly zero (generic for axis-aligned stacks), and
+    # d||n||/dn = n/||n|| is 0/0 there even under a zero cotangent.
+    l2 = jnp.sum(n * n, axis=-1)
+    valid = l2 > TOL * TOL
+    length = jnp.sqrt(jnp.where(valid, l2, 1.0))
     e1_ee = n @ p
     # span of box1: H1 . |n|; span of box2: via Q rows (ref :258-275)
     span1 = jnp.abs(n) @ H1

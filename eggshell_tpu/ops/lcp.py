@@ -276,10 +276,11 @@ def solve_lcp_batched(A, b, is_eq, lo, hi, **kw):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def solve_lcp_implicit(A, b, is_eq, lo, hi, iters=100, method="pgs",
-                       jacobi_omega=1.0, active_eps=1e-8):
+                       jacobi_omega=1.0, active_eps=1e-8,
+                       jacobi_beta=0.0, jacobi_block=False):
     """solve_lcp with an implicit-function-theorem backward pass.
 
     Forward: identical to `solve_lcp` (fixed sweeps).  Backward: at the
@@ -289,18 +290,27 @@ def solve_lcp_implicit(A, b, is_eq, lo, hi, iters=100, method="pgs",
     memory/compute, and exact at convergence (OptNet-style).
 
     Clamped rows propagate gradients to their bound (lo/hi).
+
+    `jacobi_beta`/`jacobi_block` select the heavy-ball / 3x3-block sweep
+    variants so the forward solution matches the fused Pallas kernel's
+    configuration exactly (the backward pass only needs the solution, not
+    the sweep rule).
     """
     return solve_lcp(A, b, is_eq, lo, hi, iters=iters, method=method,
-                     jacobi_omega=jacobi_omega)
+                     jacobi_omega=jacobi_omega, jacobi_beta=jacobi_beta,
+                     jacobi_block=jacobi_block)
 
 
-def _sli_fwd(A, b, is_eq, lo, hi, iters, method, jacobi_omega, active_eps):
+def _sli_fwd(A, b, is_eq, lo, hi, iters, method, jacobi_omega, active_eps,
+             jacobi_beta, jacobi_block):
     x = solve_lcp(A, b, is_eq, lo, hi, iters=iters, method=method,
-                  jacobi_omega=jacobi_omega)
+                  jacobi_omega=jacobi_omega, jacobi_beta=jacobi_beta,
+                  jacobi_block=jacobi_block)
     return x, (A, b, is_eq, lo, hi, x)
 
 
-def _sli_bwd(iters, method, jacobi_omega, active_eps, res, g):
+def _sli_bwd(iters, method, jacobi_omega, active_eps, jacobi_beta,
+             jacobi_block, res, g):
     A, b, is_eq, lo, hi, x = res
     eps = active_eps
     free = is_eq | ((x > lo + eps) & (x < hi - eps))

@@ -42,10 +42,17 @@ def cross_mat(a: jax.Array) -> jax.Array:
 
 def _safe_normalize(v: jax.Array, axis: int = -1, eps: float = 0.0):
     """Return (v/|v|, |v|); zero vectors map to zero (Eigen-normalize
-    semantics relied on by WtoQ, ref eggshell/utils.cc:83-86)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    safe = jnp.where(n > eps, n, 1.0)
-    unit = jnp.where(n > eps, v / safe, jnp.zeros_like(v))
+    semantics relied on by WtoQ, ref eggshell/utils.cc:83-86).
+
+    Double-where so reverse-mode stays NaN-free at v = 0 exactly (inactive
+    contact lanes carry zero normals): sqrt never sees 0 on a
+    gradient-carrying path — d|v|/dv = v/|v| is 0/0 there even under a
+    zero cotangent."""
+    l2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    valid = l2 > eps * eps
+    n_safe = jnp.sqrt(jnp.where(valid, l2, 1.0))
+    unit = jnp.where(valid, v / n_safe, jnp.zeros_like(v))
+    n = jnp.where(valid, n_safe, 0.0)
     return unit, n.squeeze(axis)
 
 

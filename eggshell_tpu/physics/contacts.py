@@ -49,13 +49,15 @@ class ContactSet(NamedTuple):
 
 
 def _candidates(spec: SceneSpec, state: State, cfg: SimConfig,
-                pair_out=None):
+                pair_out=None, pair_idx=None):
     """All candidate contacts in reference order: ground (per body, 8
     corner lanes) then box-box pairs (MAX_CONTACTS_PER_PAIR lanes).
 
     With cfg.pair_capacity > 0 the pair list is first AABB-pruned and
     compacted (broadphase) so the SAT narrowphase only runs on plausible
-    pairs."""
+    pairs.  `pair_idx` = (pi, pj, gate) injects an externally selected
+    pair subset matching a precomputed `pair_out` (the batched
+    broadphase + Pallas narrowphase composition)."""
     n = spec.num_bodies
     R = state.R()
 
@@ -70,7 +72,10 @@ def _candidates(spec: SceneSpec, state: State, cfg: SimConfig,
 
     P = spec.num_pairs
     pair_gate = None
-    if pair_out is not None:
+    if pair_idx is not None:
+        pi, pj, pair_gate = pair_idx
+        P = pi.shape[0]
+    elif pair_out is not None:
         pi, pj = spec.pair_i, spec.pair_j
     elif P > 0 and 0 < cfg.pair_capacity < P:
         from eggshell_tpu.ops import broadphase
@@ -114,12 +119,14 @@ def _candidates(spec: SceneSpec, state: State, cfg: SimConfig,
 
 
 def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig,
-                  pair_out=None) -> ContactSet:
+                  pair_out=None, pair_idx=None) -> ContactSet:
     """Detect, compact, and dedupe contacts into `cfg.contact_capacity`
     masked lanes.  `pair_out` optionally injects precomputed pairwise
-    narrowphase results (the batched Pallas path)."""
+    narrowphase results (the batched Pallas path); `pair_idx` the
+    matching broadphase-selected pair subset."""
     K = cfg.contact_capacity
-    b0, b1, pos, nrm, dep, act = _candidates(spec, state, cfg, pair_out)
+    b0, b1, pos, nrm, dep, act = _candidates(spec, state, cfg, pair_out,
+                                             pair_idx)
 
     # Stable compaction via a one-hot selection matmul: active candidate
     # number o lands in lane o (original order preserved).  Equivalent to
@@ -224,13 +231,15 @@ def make_contacts_batched(
     On TPU (or with use_kernel=True) the pairwise narrowphase for ALL
     scenarios runs as one lane-major Pallas kernel call
     (ops/collision_kernel.py) instead of nested vmaps of the XLA path;
-    compaction/dedupe stay vmapped.  The broadphase pair_capacity path
-    falls back to the XLA narrowphase (dynamic pair subsets per scene)."""
+    compaction/dedupe stay vmapped.  With cfg.pair_capacity set, the
+    AABB broadphase first selects each scene's plausible pairs and the
+    kernel runs only on the (B, pair_capacity) gathered subset — the
+    two compose instead of excluding each other."""
     P = spec.num_pairs
     backend_tpu = jax.default_backend() == "tpu"
     if use_kernel is None:
         use_kernel = backend_tpu
-    use_kernel = use_kernel and P > 0 and not (0 < cfg.pair_capacity < P)
+    use_kernel = use_kernel and P > 0
 
     if not use_kernel:
         return jax.vmap(lambda st: make_contacts(spec, st, cfg))(states)
@@ -239,18 +248,48 @@ def make_contacts_batched(
 
     B = states.p.shape[0]
     R = quat.quat_to_mat(states.q)                     # (B, n, 3, 3)
-    pi, pj = spec.pair_i, spec.pair_j
-    flat = lambda x: x.reshape((B * P,) + x.shape[2:])
+
+    pair_idx = None
+    if 0 < cfg.pair_capacity < P:
+        from eggshell_tpu.ops import broadphase
+
+        def select(state_one):
+            mask = broadphase.pair_overlap_mask(
+                state_one.p, state_one.q, spec.half_extents,
+                spec.pair_i, spec.pair_j, cfg.broadphase_margin,
+            )
+            return broadphase.select_pairs(
+                mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
+            )
+        pi, pj, gate = jax.vmap(select)(states)        # (B, pc) each
+        Pk = cfg.pair_capacity
+        bidx = jnp.arange(B)[:, None]
+        p_i, R_i = states.p[bidx, pi], R[bidx, pi]
+        p_j, R_j = states.p[bidx, pj], R[bidx, pj]
+        he_i, he_j = spec.half_extents[pi], spec.half_extents[pj]
+        pair_idx = (pi, pj, gate)
+    else:
+        Pk = P
+        pi, pj = spec.pair_i, spec.pair_j
+        p_i, R_i = states.p[:, pi], R[:, pi]
+        p_j, R_j = states.p[:, pj], R[:, pj]
+        he_i = jnp.broadcast_to(spec.half_extents[pi], (B, Pk, 3))
+        he_j = jnp.broadcast_to(spec.half_extents[pj], (B, Pk, 3))
+
+    flat = lambda x: x.reshape((B * Pk,) + x.shape[2:])
     out = collide_boxes_lanes(
-        flat(states.p[:, pi]), flat(R[:, pi]),
-        jnp.broadcast_to(spec.half_extents[pi], (B, P, 3)).reshape(-1, 3),
-        flat(states.p[:, pj]), flat(R[:, pj]),
-        jnp.broadcast_to(spec.half_extents[pj], (B, P, 3)).reshape(-1, 3),
+        flat(p_i), flat(R_i), flat(he_i),
+        flat(p_j), flat(R_j), flat(he_j),
         interpret=not backend_tpu,
     )
     pair_out = jax.tree_util.tree_map(
-        lambda x: x.reshape((B, P) + x.shape[1:]), out
+        lambda x: x.reshape((B, Pk) + x.shape[1:]), out
     )
+    if pair_idx is None:
+        return jax.vmap(
+            lambda st, po: make_contacts(spec, st, cfg, pair_out=po)
+        )(states, pair_out)
     return jax.vmap(
-        lambda st, po: make_contacts(spec, st, cfg, pair_out=po)
-    )(states, pair_out)
+        lambda st, po, px: make_contacts(spec, st, cfg, pair_out=po,
+                                         pair_idx=px)
+    )(states, pair_out, pair_idx)

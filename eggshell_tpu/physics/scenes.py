@@ -22,13 +22,20 @@ def chain(
     num_links: int = 10,
     anchor_position=(2.0, 2.0, 1.0),
     dtype=jnp.float64,
+    collide: bool = False,
 ) -> Tuple[SceneSpec, State]:
     """Hanging chain of unit boxes linked corner-to-corner by ball joints,
     anchored to the world at link 0's center (ref ensembles.cc:668-707).
 
     Links start collinear along x at spacing sqrt(3)*0.3 with orientation
     R = Rz(0.9553166) Rx(pi/4) — the diagonal-aligned pose in which the
-    corner offsets +-0.15 touch (ref :679-689)."""
+    corner offsets +-0.15 touch (ref :679-689).
+
+    `collide=True` enables ground + link-link contacts exactly like the
+    reference's UpdateContacts (ensembles.cc:445-474 runs ground and
+    all-pairs narrowphase on every ensemble, chain included) — required
+    for golden-trajectory parity; the default False keeps the historical
+    joints-only benchmark scene."""
     anchor = np.asarray(anchor_position, float)
     # q = AngleAxis(0.95531661812451, z) * AngleAxis(pi/4, x)
     qz = np.array(
@@ -51,9 +58,8 @@ def chain(
         positions,
         quats=np.tile(q0, (num_links, 1)),
         joints=joints,
-        ground=False,  # the reference chain hangs without ground collision
-        pairs=[],      # links may touch; reference generates contacts, but
-                       # the canonical chain never self-collides in practice
+        ground=collide,
+        pairs=None if collide else [],
         dtype=dtype,
     )
 
@@ -151,6 +157,36 @@ def living_room(dtype=jnp.float64) -> Tuple[SceneSpec, State]:
         ground_enabled=jnp.asarray([not s for s in static])
     )
     return spec, state
+
+
+def box_pile(
+    num_boxes: int = 216,
+    side: float = 0.3,
+    spacing: float = 1.15,
+    seed: int = 0,
+    jitter: float = 0.02,
+    dtype=jnp.float64,
+) -> Tuple[SceneSpec, State]:
+    """LARGE single scene: a cubic lattice of boxes dropped onto the
+    ground, collapsing into a pile — the scaling tier the reference built
+    its matrix-free machinery for (sparse_iterations_utils.cc:624-695;
+    the reference never ships a scene this big, its scenarios top out at
+    Chain(10)/Cairn(4), model.cc:28-31).
+
+    Use with SolverKind.MATRIX_FREE + cfg.pair_capacity: memory O(K),
+    the dense (3K)^2 system matrix is never formed.  num_boxes should be
+    a cube (6^3 = 216 default)."""
+    rng = np.random.default_rng(seed)
+    m = round(num_boxes ** (1 / 3))
+    assert m**3 == num_boxes, "num_boxes must be a perfect cube"
+    g = np.arange(m) - (m - 1) / 2
+    xx, yy, zz = np.meshgrid(g, g, np.arange(m), indexing="ij")
+    p = np.stack(
+        [xx.ravel() * side * spacing, yy.ravel() * side * spacing,
+         side / 2 + zz.ravel() * side * spacing], -1
+    )
+    p[:, :2] += rng.uniform(-jitter, jitter, (num_boxes, 2))
+    return make_scene(p, ground=True, dtype=dtype)
 
 
 def mjcf_boxes(path: str, dtype=jnp.float64) -> Tuple[SceneSpec, State]:

@@ -147,6 +147,44 @@ def _post_solve(state, cfg, sys, lam, u, Minv, F):
     return State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
 
 
+def _step_matrix_free(spec, state, cfg, ext_force):
+    """ODE step for ONE LARGE scene: compact two-body constraint blocks +
+    matrix-free projected Jacobi — O(n + K) memory, JMJ^T never formed
+    (ref sparse_iterations_utils.cc:624-695 CalculateSparseJMJtX, the
+    reference's answer to exactly this scaling problem)."""
+    from eggshell_tpu.ops import lcp_matrix_free as mf
+    from eggshell_tpu.physics.constraints import build_compact_constraints
+
+    dt = cfg.dt
+    n = spec.num_bodies
+    cs = make_contacts(spec, state, cfg)
+    sysc = build_compact_constraints(spec, state, cs, cfg)
+
+    u = scn.pack_velocity(state)
+    Minv = scn.inv_mass_blocks(spec, state)
+    F = scn.external_forces(spec, state, cfg.gravity)
+    if ext_force is not None:
+        F = F + ext_force
+    MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+
+    rhs = -cfg.erp / dt / dt * sysc.err - mf.j_v(
+        sysc.blocks, sysc.b0, sysc.b1, u / dt + MinvF
+    )
+    lam = mf.solve_lcp_matrix_free(
+        sysc.blocks, sysc.b0, sysc.b1, Minv, rhs, sysc.is_eq,
+        sysc.lo, sysc.hi,
+        iters=cfg.solver_iters, omega=cfg.jacobi_omega,
+        beta=cfg.jacobi_beta, cfm=float(cfg.cfm_always),
+    )
+    JTlam = mf.jt_x(sysc.blocks, sysc.b0, sysc.b1, lam, n)
+    vdot = jnp.einsum("nij,nj->ni", Minv, F + JTlam)
+    u_new = u + dt * vdot
+    u_mid = 0.5 * (u + u_new)
+    p_new = state.p + dt * u_mid[:, :3]
+    q_new = quat.integrate_quat(state.q, u_mid[:, 3:], dt)
+    return State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:]), cs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step_ode(
     spec: SceneSpec,
@@ -159,7 +197,13 @@ def step_ode(
 
     `ext_force` (n, 6) adds control wrenches [force; torque] per body on
     top of gravity + gyroscopic terms — the MPC control input (a new
-    capability; the reference has no actuation)."""
+    capability; the reference has no actuation).
+
+    With cfg.solver == SolverKind.MATRIX_FREE the step never forms the
+    dense Jacobian or JMJ^T — the large-single-scene path (hundreds to
+    thousands of bodies, see `_step_matrix_free`)."""
+    if cfg.solver == SolverKind.MATRIX_FREE:
+        return _step_matrix_free(spec, state, cfg, ext_force)
     cs, sys, A, rhs, u, Minv, F = _pre_solve(spec, state, cfg, ext_force)
     lam = _solve_lambda(A, rhs, sys, cfg)
     return _post_solve(state, cfg, sys, lam, u, Minv, F), cs
@@ -282,6 +326,79 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     return State(p=pn, v=vn, q=qn, w=wn)
 
 
+def _step_xla_twin(spec, states, cfg, ext_forces):
+    """Differentiable XLA twin of `_fused_step_packed`: identical math
+    (joints as equality lanes + box-bound contacts, cfm_always, the same
+    heavy-ball/block Jacobi sweep rule) but built from vmapped XLA ops
+    with an implicit-function-theorem LCP (ops.lcp.solve_lcp_implicit) —
+    the backward pass of the kernel hot path.  Gradients through the
+    solve cost ONE adjoint linear solve instead of reverse-unrolling
+    cfg.solver_iters sweeps (the reference's my_jet.h threads derivatives
+    through its production FEM pipeline; this is the dynamics analog)."""
+    from eggshell_tpu.physics.contacts import make_contacts_batched
+
+    css = make_contacts_batched(spec, states, cfg, use_kernel=False)
+    in_axes = (0, 0, 0 if ext_forces is not None else None)
+
+    def pre(state, cs_one, ext):
+        sys = build_constraints(spec, state, cs_one, cfg)
+        u = scn.pack_velocity(state)
+        Minv = scn.inv_mass_blocks(spec, state)
+        F = scn.external_forces(spec, state, cfg.gravity)
+        if ext is not None:
+            F = F + ext
+        MinvF = jnp.einsum("nij,nj->ni", Minv, F)
+        rhs = -cfg.erp / cfg.dt / cfg.dt * sys.err - jnp.einsum(
+            "mnk,nk->m", sys.J, u / cfg.dt + MinvF
+        )
+        A = system_matrix(spec, state, sys, cfg)
+        return sys, A, rhs, u, Minv, F
+
+    sys, A, rhs, u, Minv, F = jax.vmap(pre, in_axes=in_axes)(
+        states, css, ext_forces
+    )
+    lam = jax.vmap(
+        lambda a, r, e, l, h: lcp.solve_lcp_implicit(
+            a, r, e, l, h, cfg.solver_iters, "jacobi",
+            cfg.jacobi_omega, 1e-8, cfg.jacobi_beta, bool(cfg.jacobi_block),
+        )
+    )(A, rhs, sys.is_eq, sys.lo, sys.hi)
+    return jax.vmap(
+        lambda st, s, l, uu, mi, ff: _post_solve(st, cfg, s, l, uu, mi, ff)
+    )(states, sys, lam, u, Minv, F)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_step_diff(cfg: SimConfig):
+    """custom_vjp wrapper making the fused Pallas step differentiable:
+    forward = the five-kernel packed pipeline (`_fused_step_packed`, the
+    bench hot path); backward = jax.vjp of the XLA twin with the IFT LCP
+    adjoint (`_step_xla_twin`).  The twin recomputes the forward pieces
+    it needs (standard rematerialisation), so nothing is saved but the
+    primal inputs.  Cached per SimConfig (hashable, static)."""
+
+    @jax.custom_vjp
+    def step(spec, states, ext_forces):
+        from eggshell_tpu.physics.contacts import make_contacts_batched
+
+        css = make_contacts_batched(spec, states, cfg)
+        return _fused_step_packed(spec, states, cfg, css, ext_forces)
+
+    def fwd(spec, states, ext_forces):
+        return step(spec, states, ext_forces), (spec, states, ext_forces)
+
+    def bwd(res, bar_out):
+        spec, states, ext_forces = res
+        _, vjp = jax.vjp(
+            lambda sp, st, ex: _step_xla_twin(sp, st, cfg, ex),
+            spec, states, ext_forces,
+        )
+        return vjp(bar_out)
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step_ode_batched(
     spec: SceneSpec,
@@ -293,11 +410,11 @@ def step_ode_batched(
     SolverKind.JACOBI_KERNEL the per-scenario QPs are solved by ONE fused
     Pallas kernel call (batch mapped onto TPU lanes, all sweeps in VMEM)
     instead of a vmapped per-scenario solve — the hot path of the
-    rollouts/s north star."""
+    rollouts/s north star.  The fused path is differentiable: jax.grad
+    flows through a custom VJP whose backward is the XLA twin with an
+    implicit-function-theorem LCP adjoint (see `_fused_step_diff`)."""
     from eggshell_tpu.physics.contacts import make_contacts_batched
     from eggshell_tpu.utils.config import FrictionModel as _FM
-
-    css = make_contacts_batched(spec, states, cfg)
 
     use_fused_pre = (
         cfg.solver == SolverKind.JACOBI_KERNEL
@@ -305,7 +422,9 @@ def step_ode_batched(
         and not cfg.conditional_cfm
     )
     if use_fused_pre:
-        return _fused_step_packed(spec, states, cfg, css, ext_forces)
+        return _fused_step_diff(cfg)(spec, states, ext_forces)
+
+    css = make_contacts_batched(spec, states, cfg)
 
     in_axes = (0, 0, 0 if ext_forces is not None else None)
 

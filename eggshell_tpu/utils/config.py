@@ -45,6 +45,9 @@ class SolverKind(enum.IntEnum):
     SOR = 2      # backward projected SOR, omega=1.5 (ref sparse_iterations.cc:15)
     DIRECT = 3   # Murty pivot + Schur mixed solver (ref lcp.cc:157-336)
     JACOBI_KERNEL = 4  # fused Pallas kernel (batched path only)
+    MATRIX_FREE = 5  # O(K)-memory projected Jacobi on compact two-body
+    #                  blocks; never forms JMJ^T — the LARGE-single-scene
+    #                  path (ref sparse_iterations_utils.cc:624-695)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +107,16 @@ class SimConfig:
     # Constraints closer than this are deduplicated to avoid a singular J
     # (ref eggshell/ensembles.cc:15, kMinConstraintDistance).
     min_constraint_distance: float = 1e-6
+    # Reproduce the reference APP's effective contact bounds: its
+    # production path Lcp::MixedConstraintsSolver (eggshell/lcp.cc:276-298)
+    # forwards inequality rows to the 2-argument MurtyPrincipalPivot,
+    # which fixes bounds to [0, inf) — silently DISCARDING the +-1 box
+    # friction bounds that Contact::ComputeJ requested
+    # (eggshell/contact.cc:104-113).  True makes BOX friction rows use
+    # [0, inf) so trajectories match the compiled reference bit-for-bit
+    # (the golden-parity gate, tests/test_golden_parity.py); False keeps
+    # the reference's *intended* box-bound semantics.
+    ref_app_bounds: bool = False
     # Contact capacity: max live contacts per scene (masked lanes).
     contact_capacity: int = 64
     # Broadphase: when > 0, AABB-prune the candidate pair list down to
