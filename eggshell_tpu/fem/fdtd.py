@@ -372,7 +372,8 @@ def step_3d(
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "source_ijk", "source_component",
-                     "source_fn", "probe_ijk", "periodic"),
+                     "source_fn", "probe_ijk", "periodic",
+                     "probe_component"),
 )
 def simulate_3d(
     f: Field3D,
@@ -388,12 +389,15 @@ def simulate_3d(
     source_fn=None,
     probe_ijk: Optional[Tuple[int, int, int]] = None,
     periodic: int = 0,
+    probe_component: Optional[str] = None,
 ):
     """Scan the 3D update over time with optional soft source and probe
     (the excitation/measurement layer the ref leaves to callers,
     toolkit/fdtd.h:14-16).  Returns (final field [, final psi], probe
-    trace of Ez — or of `source_component` when probing the source
-    field)."""
+    trace of `probe_component` — defaulting to `source_component`, so one
+    can drive e.g. hy while probing ez)."""
+    if probe_component is None:
+        probe_component = source_component
     use_pml = cpml is not None
 
     def body(carry, t):
@@ -410,7 +414,7 @@ def simulate_3d(
                 )
             })
         out = (
-            getattr(fld, source_component)[probe_ijk]
+            getattr(fld, probe_component)[probe_ijk]
             if probe_ijk is not None else jnp.float32(0)
         )
         return (fld, p), out

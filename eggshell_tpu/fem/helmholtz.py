@@ -233,6 +233,12 @@ class PortPlan:
     analytic: bool               # closed-form modes vs numerical profiles
     profiles: Optional[np.ndarray]   # (M, P) numerical mode shapes
     beta2: Optional[np.ndarray]      # (M,) numerical beta^2 at plan k0
+    # (P,) per-node normal stiffness weight n^T W n along the port (the
+    # weight of beta^2 in the separated transverse problem); None for
+    # analytic ports.  Numerical modes' Robin/DtN/flux terms use the
+    # wn-WEIGHTED port mass so loaded/anisotropic ports stay
+    # flux-consistent (see _port_quantities).
+    wn_profile: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -312,33 +318,56 @@ def plan_driven(
         nodes, t, width, _ = port_frame(mesh, p)
         adj = _edge_tri_adjacency(mesh, pe)
         eps_prof = portlib.port_eps_profile(mesh, p, nodes)
-        uniform = (
-            np.max(np.abs(eps_prof - eps_prof[0])) < 1e-9 * max(
-                1.0, np.max(np.abs(eps_prof))
+
+        # Stiffness-weight tensor along the port: W = sigma (EZ) or
+        # sigma/eps (EXY, which carries eps in the stiffness) — the
+        # weighted 1D eigenproblem then covers loaded EXY and
+        # anisotropic-sigma EZ ports (the reference leaves both to its
+        # closed forms, rama/solver.cc:175-177, despite intending
+        # WaveguideModeFEMProblem at :251).
+        sxx = np.asarray(mesh.sigma_xx, complex)
+        syy = np.asarray(mesh.sigma_yy, complex)
+        sxy = np.asarray(mesh.sigma_xy, complex)
+        if config.type == "EXY":
+            inv_eps = 1.0 / np.asarray(mesh.epsilon, complex)
+            Wxx_t, Wyy_t, Wxy_t = sxx * inv_eps, syy * inv_eps, sxy * inv_eps
+        else:
+            Wxx_t, Wyy_t, Wxy_t = sxx, syy, sxy
+        wt_prof, wn_prof = portlib.port_weight_profiles(
+            mesh, nodes, Wxx_t, Wyy_t, Wxy_t
+        )
+        mass_prof = (
+            np.ones_like(eps_prof) if config.type == "EXY" else eps_prof
+        )
+
+        def _uniform(prof):
+            return np.max(np.abs(prof - prof[0])) < 1e-9 * max(
+                1.0, np.max(np.abs(prof))
             )
+
+        uniform = (
+            _uniform(eps_prof) and _uniform(wt_prof) and _uniform(wn_prof)
         )
         use_numerical = (
             numerical_modes == "always"
             or (numerical_modes == "auto" and not uniform)
         )
-        # the 1D transverse solver assumes unit stiffness weights (W=I):
-        # valid for EZ ports with isotropic sigma; EXY folds eps into the
-        # stiffness, so loaded EXY ports keep the closed-form modes (the
-        # reference's EXY ports are similarly approximate,
-        # rama/solver.cc:175-177)
-        if config.type != "EZ":
-            use_numerical = False
+        if config.type == "ES":
+            use_numerical = False      # electrostatics has no port modes
         profiles = beta2 = None
         if use_numerical:
             k2p = complex(config.k2_eff())
             tm = portlib.transverse_modes(
-                t, eps_prof, k2p, num_modes, dirichlet=config.type == "EZ"
+                t, mass_prof, k2p, num_modes,
+                dirichlet=config.type == "EZ",
+                w_stiff=wt_prof, w_beta=wn_prof,
             )
             profiles, beta2 = tm.profiles, tm.beta2
         ports.append(PortPlan(
             number=p, nodes=nodes, edges=np.asarray(pe), adj_tris=adj,
             num_modes=num_modes, dirichlet=config.type == "EZ",
             analytic=not use_numerical, profiles=profiles, beta2=beta2,
+            wn_profile=np.asarray(wn_prof) if use_numerical else None,
         ))
         er, ec = edge_structure(pe)
         rows.append(er)
@@ -434,12 +463,18 @@ def plan_driven(
 # Driven core (pure jnp; differentiable)
 
 
-def _port_mass_small(tj):
+def _port_mass_small(tj, weight=None):
     """(P, P) consistent P1 mass on the port chain from traced arclength
-    coords tj."""
+    coords tj; `weight` (P,) optionally weights each element by the
+    midpoint of its nodes' values (the wn-weighted mass of numerical
+    loaded/anisotropic ports)."""
     h = tj[1:] - tj[:-1]
     P = tj.shape[0]
-    diag = jnp.zeros(P).at[:-1].add(h / 3.0).at[1:].add(h / 3.0)
+    if weight is not None:
+        h = h * 0.5 * (weight[:-1] + weight[1:])
+    diag = (
+        jnp.zeros(P, h.dtype).at[:-1].add(h / 3.0).at[1:].add(h / 3.0)
+    )
     offd = h / 6.0
     Bp = jnp.diag(diag)
     idx = jnp.arange(P - 1)
@@ -501,14 +536,31 @@ def _port_quantities(pp: PortPlan, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff,
         prof = (jnp.sin(x) if pp.dirichlet else jnp.cos(x)).astype(dtype)
         kc2 = ((ms * (jnp.pi / L)) ** 2).astype(dtype)
         eff_k2 = k2_mass - kc2 * Wt
+        alphas = 1j * _branch_sqrt(Wn * eff_k2)
+        Bp = _port_mass_small(tj).astype(dtype)
+        be_scale = None
     else:
         prof = jnp.asarray(pp.profiles, dtype)
-        # numerical transverse modes are solved with W = I (plan guards
-        # them to isotropic-sigma EZ ports); beta2 is eff_k2 directly
-        eff_k2 = jnp.asarray(pp.beta2, dtype)
-    alphas = 1j * _branch_sqrt(Wn * eff_k2)
-    Bp = _port_mass_small(tj).astype(dtype)
-    return tj, L, eps_port, prof, alphas, Bp
+        # numerical modes solve the WEIGHTED generalized problem
+        # (k2 M_eps - K_wt) psi = beta^2 M_wn psi, so beta2 is the true
+        # propagation constant squared; the matched Robin condition
+        # W dn(u) = -i beta W_n(y) u makes every port term (fundamental
+        # Robin, DtN corrections, excitation, S projection, flux) use
+        # the wn-WEIGHTED port mass — one substitution Bp -> Bp_wn with
+        # alphas = i beta.  For constant W_n this reduces exactly to the
+        # analytic branch's alpha = i sqrt(W_n eff_k2) * M.
+        beta2 = jnp.asarray(pp.beta2, dtype)
+        alphas = 1j * _branch_sqrt(beta2)
+        wn = jnp.asarray(pp.wn_profile, dtype)
+        Bp = _port_mass_small(tj, weight=wn).astype(dtype)
+        # per-edge scale for the assembled fundamental Robin block —
+        # indexed in pp.edges order (not chain order)
+        pos = {int(n): i for i, n in enumerate(np.asarray(pp.nodes))}
+        e = np.asarray(pp.edges).reshape(-1, 2)
+        i0 = np.asarray([pos[int(a)] for a in e[:, 0]])
+        i1 = np.asarray([pos[int(b)] for b in e[:, 1]])
+        be_scale = 0.5 * (wn[i0] + wn[i1])
+    return tj, L, eps_port, prof, alphas, Bp, be_scale
 
 
 def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
@@ -576,10 +628,10 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
     # Ports
     port_aux = []
     for pp in plan.ports:
-        tj, L, eps_port, prof, alphas, Bp = _port_quantities(
+        tj, L, eps_port, prof, alphas, Bp, be_scale = _port_quantities(
             pp, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff, is_exy, dtype
         )
-        be = edge_mass_vals(pts, pp.edges).astype(dtype)
+        be = edge_mass_vals(pts, pp.edges, scale=be_scale).astype(dtype)
         # fundamental matched-port Robin: + alpha_1 B
         # (ref alpha = i*beta0 with the anisotropic sqrt(n^T sigma n)
         # scale, rama/solver.cc:194 + toolkit/femsolver.h:622-638)
@@ -778,7 +830,22 @@ def solve_driven(
         s_power = s_np.copy()
     else:
         fx = flux_np[ex_i, config.excited_mode - 1]
-        s_power = s_np * np.sqrt(np.maximum(flux_np, 0.0) / max(fx, 1e-300))
+        if fx <= 0:
+            # The excited mode carries no power (below cutoff /
+            # evanescent): power-wave normalization is undefined, so fall
+            # back to field-amplitude s (as in the portless branch)
+            # rather than silently dividing by ~0.
+            import warnings
+
+            warnings.warn(
+                f"excited port {config.excited_port} mode "
+                f"{config.excited_mode} is evanescent (flux {fx:.3e} <= 0); "
+                "s_power falls back to field-amplitude s",
+                stacklevel=2,
+            )
+            s_power = s_np.copy()
+        else:
+            s_power = s_np * np.sqrt(np.maximum(flux_np, 0.0) / fx)
     s_params = {}
     power = {}
     for i, pp in enumerate(plan.ports):
@@ -874,27 +941,25 @@ def solve_modes(
         Kr, Mr = Ks, Ms
 
     if use_lobpcg:
-        from jax.experimental.sparse.linalg import lobpcg_standard
+        # Fully sparse on-device path: generalized block LOBPCG on the
+        # reduced COO triplets — O(nnz) memory, no densification (r2's
+        # dense-transform variant would OOM at exactly the sizes where
+        # an on-device path matters).  See sparselib.lobpcg_generalized.
+        Krc = Kr.tocoo()
+        Mrc = Mr.tocoo()
+        # merge the two sparsity patterns so K and M share (rows, cols)
+        import scipy.sparse as _sp
 
-        # standard form via M^-1/2 (dense transform for moderate meshes);
-        # jax lobpcg_standard returns the LARGEST eigenpairs, so run it on
-        # the inverse operator (shift-invert with sigma=0, the reference's
-        # ARPACK mode, toolkit/eigensolvers.h shift-invert) and invert.
-        Krd = Kr.toarray()
-        Mrd = Mr.toarray()
-        w, V = np.linalg.eigh(Mrd)
-        Mi = V @ np.diag(1 / np.sqrt(w)) @ V.T
-        Astd = Mi @ Krd @ Mi
-        Ainv = jnp.asarray(np.linalg.inv(Astd), jnp.float32)
-        X0 = jnp.asarray(
-            np.random.default_rng(0).normal(size=(len(idx), num_modes)),
-            jnp.float32,
+        pat = (abs(Krc) + abs(Mrc)).tocoo()
+        rr, cc = pat.row, pat.col
+        kv2 = np.asarray(Kr.tocsr()[rr, cc]).ravel()
+        mv2 = np.asarray(Mr.tocsr()[rr, cc]).ravel()
+        vals_j, vecs_j = sparselib.lobpcg_generalized(
+            rr, cc, kv2, mv2, Kr.shape[0], num_modes,
+            iters=300, seed=0,
         )
-        theta, U, _ = lobpcg_standard(lambda x: Ainv @ x, X0, m=200)
-        vals = 1.0 / np.asarray(theta)
-        vecs = Mi @ np.asarray(U)
-        order = np.argsort(vals)
-        vals, vecs = vals[order], vecs[:, order]
+        vals = np.asarray(vals_j)
+        vecs = np.asarray(vecs_j)
     else:
         if sigma is None:
             sigma = 1e-6

@@ -79,9 +79,20 @@ def mesh_shape(
     max_iters: int = 60,
     seed: int = 0,
     geps_scale: float = 0.001,
+    fh=None,
 ) -> Mesh:
     """Triangulate `shape` with target edge length `edge_length`
-    (config.mesh_edge_length analog, ref rama/solver.h:42-126)."""
+    (config.mesh_edge_length analog, ref rama/solver.h:42-126).
+
+    `fh(pts) -> (N,)` optionally gives a SPATIALLY VARYING desired edge
+    length (absolute units; distmesh's size function h(x) — the analog
+    of the reference mesher's local refinement, rama/mesh.cc).
+    `edge_length` then acts as the minimum/seeding resolution: seeds are
+    thinned with probability (min h / fh)^2 and the truss rest lengths
+    follow fh at each edge midpoint, so fine regions (lenses, ports,
+    conductors) get h ~ fh_min while bulk regions coarsen — the same
+    answer at a fraction of the nodes of a uniform fine mesh
+    (tests/test_mesh_sizing.py)."""
     assert shape.bbox is not None, "shape must carry a bounding box"
     xmin, ymin, xmax, ymax = shape.bbox
     h0 = edge_length
@@ -94,6 +105,14 @@ def mesh_shape(
     X[1::2] += h0 / 2
     pts = np.stack([X.ravel(), Y.ravel()], axis=1)
     pts = pts[shape.distance(pts) < geps]
+
+    if fh is not None:
+        # Rejection-thin seeds by the size function (Persson-Strang
+        # distmesh step 2): keep with probability (h_min / fh)^2.
+        rng = np.random.default_rng(seed)
+        hvals = np.maximum(np.asarray(fh(pts), float), h0)
+        r0 = 1.0 / hvals**2
+        pts = pts[rng.uniform(size=len(pts)) < r0 / r0.max()]
 
     fixed = np.asarray(
         [p for p in shape.fixed_points if shape.distance([p])[0] < h0],
@@ -133,7 +152,21 @@ def mesh_shape(
             )
         vec = pts[edges[:, 0]] - pts[edges[:, 1]]
         L = np.linalg.norm(vec, axis=1)
-        L0 = Fscale * h0 * np.ones_like(L)
+        if fh is None:
+            L0 = Fscale * h0 * np.ones_like(L)
+        else:
+            # rest lengths follow the size function at edge midpoints,
+            # rescaled so total truss force balances (distmesh eq. 2.3)
+            hbar = np.maximum(
+                np.asarray(
+                    fh(0.5 * (pts[edges[:, 0]] + pts[edges[:, 1]])), float
+                ),
+                h0,
+            )
+            L0 = (
+                Fscale * hbar
+                * np.sqrt(np.sum(L**2) / np.sum(hbar**2))
+            )
         F = np.maximum(L0 - L, 0)
         Fvec = (F / np.maximum(L, 1e-12))[:, None] * vec
         move = np.zeros_like(pts)

@@ -105,18 +105,66 @@ class TransverseModes:
     kc2: np.ndarray
 
 
+def port_weight_profiles(mesh, nodes: np.ndarray, Wxx, Wyy, Wxy):
+    """Per-node tangential / normal stiffness-weight profiles along a
+    port: wt = t^T W t, wn = n^T W n with W the per-triangle 2D
+    stiffness tensor (sigma for EZ, sigma/eps for EXY) averaged over
+    each node's adjacent triangles, and (t, n) the port chord frame.
+    Feeds the weighted 1D transverse eigenproblem (`transverse_modes`)
+    for anisotropic / loaded EXY ports (ref rama/solver.cc:251 intends
+    WaveguideModeFEMProblem for exactly these)."""
+    tri = np.asarray(mesh.triangles)
+    pts = np.asarray(mesh.points)
+    Wxx = np.asarray(Wxx, complex)
+    Wyy = np.asarray(Wyy, complex)
+    Wxy = np.asarray(Wxy, complex)
+    port_set = {int(n): i for i, n in enumerate(nodes)}
+    accxx = [[] for _ in nodes]
+    accyy = [[] for _ in nodes]
+    accxy = [[] for _ in nodes]
+    for t in range(len(tri)):
+        for v in tri[t]:
+            i = port_set.get(int(v))
+            if i is not None:
+                accxx[i].append(Wxx[t])
+                accyy[i].append(Wyy[t])
+                accxy[i].append(Wxy[t])
+    wxx = np.asarray([np.mean(a) if a else 1.0 for a in accxx], complex)
+    wyy = np.asarray([np.mean(a) if a else 1.0 for a in accyy], complex)
+    wxy = np.asarray([np.mean(a) if a else 0.0 for a in accxy], complex)
+    chord = pts[nodes[-1]] - pts[nodes[0]]
+    that = chord / max(np.linalg.norm(chord), 1e-30)
+    nvec = np.asarray([that[1], -that[0]])
+    wt = (wxx * that[0] ** 2 + wyy * that[1] ** 2
+          + 2.0 * wxy * that[0] * that[1])
+    wn = (wxx * nvec[0] ** 2 + wyy * nvec[1] ** 2
+          + 2.0 * wxy * nvec[0] * nvec[1])
+    return wt, wn
+
+
 def transverse_modes(
     t: np.ndarray,
     eps: np.ndarray,
     k2: complex,
     num_modes: int,
     dirichlet: bool,
+    w_stiff: np.ndarray = None,
+    w_beta: np.ndarray = None,
 ) -> TransverseModes:
     """Solve the 1D transverse eigenproblem along the port.
 
-    P1 line elements on the arclength nodes `t` with per-node eps:
-    (k2 * M_eps - K) psi = beta^2 * M psi, Dirichlet ends for EZ
-    (PEC side walls), natural ends for EXY.
+    P1 line elements on the arclength nodes `t`:
+
+        (k2 * M_eps - K_ws) psi = beta^2 * M_wb psi
+
+    with per-node mass profile `eps`, stiffness weight `w_stiff`
+    (tangential t^T W t of the 2D stiffness tensor along the port) and
+    beta-weight `w_beta` (normal n^T W n — the weight multiplying beta^2
+    when the 2D operator div(W grad u) + k2 eps u is separated along a
+    straight port).  Defaults w_stiff = w_beta = 1 reproduce the
+    isotropic EZ problem; EXY ports pass eps = 1 with W = sigma/eps
+    profiles; anisotropic EZ ports pass W = sigma.  Dirichlet ends for
+    EZ (PEC side walls), natural ends for EXY.
     (ref WaveguideModeFEMProblem, rama/solver.cc:251+)"""
     import scipy.linalg as sla
 
@@ -126,23 +174,29 @@ def transverse_modes(
     if np.any(h <= 0):
         raise ValueError("port nodes not strictly ordered")
     eps = np.asarray(eps, complex)
+    ws = (np.ones(P, complex) if w_stiff is None
+          else np.asarray(w_stiff, complex))
+    wb = (np.ones(P, complex) if w_beta is None
+          else np.asarray(w_beta, complex))
     eps_e = 0.5 * (eps[:-1] + eps[1:])      # element-wise eps (midpoint)
+    ws_e = 0.5 * (ws[:-1] + ws[1:])
+    wb_e = 0.5 * (wb[:-1] + wb[1:])
 
     K = np.zeros((P, P), complex)
-    M = np.zeros((P, P), complex)
+    Mb = np.zeros((P, P), complex)
     Me = np.zeros((P, P), complex)
     for e in range(P - 1):
         i, j = e, e + 1
-        k_loc = (1.0 / h[e]) * np.array([[1, -1], [-1, 1]])
+        k_loc = (ws_e[e] / h[e]) * np.array([[1, -1], [-1, 1]])
         m_loc = (h[e] / 6.0) * np.array([[2, 1], [1, 2]])
         for a, ia in ((0, i), (1, j)):
             for b, ib in ((0, i), (1, j)):
                 K[ia, ib] += k_loc[a, b]
-                M[ia, ib] += m_loc[a, b]
+                Mb[ia, ib] += wb_e[e] * m_loc[a, b]
                 Me[ia, ib] += eps_e[e] * m_loc[a, b]
 
     A = k2 * Me - K
-    B = M
+    B = Mb
     if dirichlet:
         keep = np.arange(1, P - 1)
     else:
@@ -152,6 +206,9 @@ def transverse_modes(
 
     herm = (
         abs(np.imag(k2)) < 1e-300 and np.abs(np.imag(eps)).max() < 1e-300
+        and np.abs(np.imag(ws)).max() < 1e-300
+        and np.abs(np.imag(wb)).max() < 1e-300
+        and np.real(wb).min() > 0
     )
     if herm:
         w, v = sla.eigh(np.real(Ar), np.real(Br))

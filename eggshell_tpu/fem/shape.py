@@ -338,7 +338,13 @@ class Shape:
         """Scale the shape about the origin (ref Shape:Scale —
         examples/waveguide_modes.lua uses Circle():Scale(1, K) for
         elliptic guides).  Painted boundaries/materials do not carry
-        over (they address old coordinates)."""
+        over (they address old coordinates) — Scale BEFORE Paint/Port."""
+        if self.boundaries or self.materials:
+            raise ValueError(
+                "Shape.Scale drops painted regions and port/boundary "
+                "markings (they address pre-scale coordinates): apply "
+                "Scale before Paint/Port/ABC."
+            )
         sy = sx if sy is None else sy
         b = self.bbox
         bbox = None if b is None else tuple(sorted([b[0] * sx, b[2] * sx]) +

@@ -178,11 +178,18 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
     eq = eq_ref[:]
 
     pad = mp - m3
-    zerosp = jnp.zeros((pad, L), b3.dtype)
-    b = jnp.concatenate([b3, zerosp], axis=0)
+
+    def padded(x):
+        # Mosaic rejects zero-size vectors: skip the concat when m3 is
+        # already sublane-aligned (pad == 0).
+        if pad == 0:
+            return x
+        return jnp.concatenate([x, jnp.zeros((pad, L), b3.dtype)], axis=0)
+
+    b = padded(b3)
     # float masks throughout (Mosaic dislikes bool vector relayouts)
     act3 = jnp.broadcast_to(act[:, None, :], (K, 3, L)).reshape(m3, L)
-    active = jnp.concatenate([act3, zerosp], axis=0)
+    active = padded(act3)
     eq3 = jnp.broadcast_to(eq[:, None, :], (K, 3, L)).reshape(m3, L)
     compi = jax.lax.broadcasted_iota(jnp.int32, (m3, L), 0)
     tangential = jnp.where(compi % 3 < 2, 1.0, 0.0).astype(b.dtype)
@@ -192,8 +199,8 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
     hi3 = jnp.where(
         (eq3 > 0.5) | (tangential < 0.5), 3.4e38, mu
     ).astype(b.dtype)
-    lo = jnp.concatenate([lo3, zerosp], axis=0)
-    hi = jnp.concatenate([hi3, zerosp], axis=0)
+    lo = padded(lo3)
+    hi = padded(hi3)
 
     diag = jnp.concatenate(
         [A[i, i, :][None] for i in range(mp)], axis=0

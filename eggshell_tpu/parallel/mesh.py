@@ -35,7 +35,14 @@ from eggshell_tpu.utils.config import SimConfig
 # would defeat jax.jit's function-identity cache and retrace/lower on
 # EVERY invocation (a full re-lowering per MPC iteration).  Key on the
 # static configuration + abstract (shape, dtype) signature instead.
-_JIT_CACHE: dict = {}
+# NOTE: entries key on cost_fn IDENTITY — pass a stable function object
+# (module-level def or a lambda created once), not a fresh lambda per
+# call, or every call recompiles.  Eviction is LRU (oldest-inserted),
+# so a hot compiled closure is never dropped mid-run by an unrelated
+# signature churning the cache.
+from collections import OrderedDict as _OrderedDict
+
+_JIT_CACHE: "_OrderedDict" = _OrderedDict()
 _JIT_CACHE_MAX = 128
 
 
@@ -50,9 +57,16 @@ def _abstract_key(tree):
 
 
 def _cache_put(key, fn):
-    if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
-        _JIT_CACHE.clear()
+    while len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+        _JIT_CACHE.popitem(last=False)   # evict oldest, keep hot entries
     _JIT_CACHE[key] = fn
+    return fn
+
+
+def _cache_get(key):
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        _JIT_CACHE.move_to_end(key)      # mark as recently used
     return fn
 
 
@@ -85,7 +99,7 @@ def sharded_rollout(
     contains no collectives; XLA keeps every shard resident."""
     key = ("rollout", mesh, axis, int(num_steps), cfg,
            _abstract_key(spec), _abstract_key(states))
-    cached = _JIT_CACHE.get(key)
+    cached = _cache_get(key)
     if cached is not None:
         return cached(spec, states)
 
@@ -126,6 +140,7 @@ def sharded_mppi_update(
     temperature: float = 1.0,
     noise_mode: str = "white",
     axis: str = "batch",
+    substeps: int = 1,
 ):
     """Distributed MPPI update, bit-matching `mpc.sampling.mppi_update`
     up to reduction order: the SAME noise tensor is drawn from the SAME
@@ -158,16 +173,18 @@ def sharded_mppi_update(
     ctrls = jax.device_put(ctrls, NamedSharding(mesh, P(axis)))
 
     key = ("mppi", mesh, axis, cfg, cost_fn, int(controlled_body),
-           float(temperature), _abstract_key(spec), _abstract_key(state),
+           float(temperature), int(substeps),
+           _abstract_key(spec), _abstract_key(state),
            _abstract_key((mean_controls, ctrls)))
-    cached = _JIT_CACHE.get(key)
+    cached = _cache_get(key)
     if cached is not None:
         return cached(spec, state, mean_controls, ctrls)
 
     def local(spec_rep, state_rep, mc, ctrls_shard):
         def one(c):
             final, run = rollout_controlled(
-                spec_rep, state_rep, cfg, c, controlled_body
+                spec_rep, state_rep, cfg, c, controlled_body,
+                substeps=substeps,
             )
             return cost_fn(final) + run
 
@@ -200,7 +217,7 @@ def sharded_mean_cost(
 ) -> jax.Array:
     """Global mean of a sharded per-scenario cost via psum over ICI."""
     key = ("mean_cost", mesh, axis, _abstract_key(cost_per_scenario))
-    cached = _JIT_CACHE.get(key)
+    cached = _cache_get(key)
     if cached is not None:
         return cached(cost_per_scenario)
 

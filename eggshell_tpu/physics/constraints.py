@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from eggshell_tpu.ops import quaternion as quat
-from eggshell_tpu.physics.contacts import ContactSet, contact_frames
+from eggshell_tpu.physics.contacts import (
+    ContactSet, contact_frames, effective_depth,
+)
 from eggshell_tpu.physics.scene import SceneSpec, State
 from eggshell_tpu.utils.config import FrictionModel, SimConfig
 
@@ -141,9 +143,10 @@ def build_compact_constraints(
     cblk0 = jnp.where(mask3 & b0ok[:, None, None], cblk0, 0.0)
     cblk1 = jnp.where(mask3 & b1ok[:, None, None], cblk1, 0.0)
     cblocks = jnp.concatenate([cblk0, cblk1], axis=-1)
+    dep_eff = effective_depth(cs.depth, cfg)
     cerr = jnp.stack(
         [jnp.zeros((K,), dtype), jnp.zeros((K,), dtype),
-         jnp.where(cs.active, -cs.depth, 0.0)], -1
+         jnp.where(cs.active, -dep_eff, 0.0)], -1
     )
     cerr = jnp.where(row_on, cerr, 0.0).reshape(-1)
 
@@ -280,10 +283,12 @@ def build_constraints(
     ) + _blocks_to_rows(jnp.where(cs.active, cs.b1, -1), blk1, n)
     J = jnp.concatenate([J_joints, J_contacts], axis=0)
 
-    # error = (0, 0, -depth) (ref contact.cc:14-22)
+    # error = (0, 0, -depth) (ref contact.cc:14-22); depth saturated per
+    # SimConfig.max_correcting_vel (contacts.effective_depth).
+    dep_eff = effective_depth(cs.depth, cfg)
     cerr = jnp.stack(
         [jnp.zeros((K,), dtype), jnp.zeros((K,), dtype),
-         jnp.where(cs.active, -cs.depth, 0.0)],
+         jnp.where(cs.active, -dep_eff, 0.0)],
         axis=-1,
     )
     cerr = jnp.where(row_on, cerr, 0.0).reshape(-1)

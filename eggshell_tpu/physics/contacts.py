@@ -213,6 +213,19 @@ def _dedupe(spec: SceneSpec, state: State, cs: ContactSet, cfg: SimConfig):
     return cs._replace(active=cs.active & ~drop)
 
 
+def effective_depth(depth: jax.Array, cfg: SimConfig) -> jax.Array:
+    """Penetration depth as seen by the ERP correction term, saturated at
+    cfg.max_correcting_vel * dt / erp so deep interpenetration is pushed
+    out at a bounded velocity (ODE's dWorldSetMaxCorrectingVel analog;
+    see SimConfig.max_correcting_vel).  Identity when the cap is inf."""
+    import math
+
+    if math.isinf(cfg.max_correcting_vel):
+        return depth
+    cap = cfg.max_correcting_vel * cfg.dt / max(cfg.erp, 1e-12)
+    return jnp.minimum(depth, cap)
+
+
 def contact_frames(cs: ContactSet) -> jax.Array:
     """Rotation matrices mapping global vectors into the contact frame
     (z = contact normal): R = AlignVectors(normal, z)

@@ -71,9 +71,40 @@ def system_matrix(
     A = A + jnp.diag(jnp.where(sys.row_active, 0.0, diag_scale))
 
     if cfg.conditional_cfm:
-        eigs = jnp.linalg.eigvalsh(A)
-        bad = (eigs[0] <= 0) | (
-            eigs[-1] / jnp.maximum(eigs[0], 1e-300)
+        if cfg.cond_estimator == "exact":
+            # Exact spectrum — matches the reference's SVD-based
+            # CheckMatrixCondition decision bit-for-bit (utils.cc:256-261),
+            # required by the golden-parity gate.
+            eigs = jnp.linalg.eigvalsh(A)
+            lam_max = eigs[-1]
+            lam_min = eigs[0]
+        else:
+            # Cheap estimate (ref's check is advisory, ensembles.cc:514):
+            # lambda_max by power iteration, lambda_min by inverse
+            # iteration through one Cholesky factor — ~5x cheaper than a
+            # full eigendecomposition at these sizes, same O(m^3) solve
+            # the DIRECT path performs anyway.
+            m = A.shape[0]
+            v = jnp.full((m,), 1.0 / jnp.sqrt(m), A.dtype)
+
+            def pow_it(v, _):
+                w = A @ v
+                return w / jnp.maximum(jnp.linalg.norm(w), 1e-300), None
+
+            v, _ = jax.lax.scan(pow_it, v, None, length=12)
+            lam_max = v @ (A @ v)
+            L = jnp.linalg.cholesky(A)
+
+            def inv_it(v, _):
+                w = jax.scipy.linalg.cho_solve((L, True), v)
+                return w / jnp.maximum(jnp.linalg.norm(w), 1e-300), None
+
+            u, _ = jax.lax.scan(inv_it, v, None, length=12)
+            lam_min = u @ (A @ u)
+            # a failed factorization (singular A) must read as "bad"
+            lam_min = jnp.where(jnp.isfinite(lam_min), lam_min, 0.0)
+        bad = (lam_min <= 0) | (
+            lam_max / jnp.maximum(lam_min, 1e-300)
             > cfg.good_condition_number
         )
         cfm = jnp.where(bad, cfg.cfm, 0.0)
@@ -236,6 +267,10 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     Jn = spec.num_joints
     dtype = states.p.dtype
     interpret = jax.default_backend() != "tpu"
+
+    from eggshell_tpu.physics.contacts import effective_depth
+
+    css = css._replace(depth=effective_depth(css.depth, cfg))
 
     # Body prep (R, world inertia, forces, uhat) as one packed kernel —
     # the vmapped XLA equivalent ran at 3/128 lane occupancy.

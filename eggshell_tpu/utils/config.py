@@ -104,9 +104,24 @@ class SimConfig:
     # Condition-number threshold above which CFM is applied
     # (ref eggshell/constants.h:12, kGoodConditionNumber).
     good_condition_number: float = 1e7
+    # How conditional_cfm estimates cond(A): "exact" = full eigvalsh
+    # (bit-matches the reference's SVD check, utils.cc:256-261 — the
+    # golden-parity configuration); "power" = power + inverse iteration
+    # through one Cholesky factor (~5x cheaper on the f64 oracle tier).
+    cond_estimator: str = "exact"
     # Constraints closer than this are deduplicated to avoid a singular J
     # (ref eggshell/ensembles.cc:15, kMinConstraintDistance).
     min_constraint_distance: float = 1e-6
+    # Cap on the Baumgarte/ERP position-correction velocity (m/s) for
+    # contact penetration — the dWorldSetMaxCorrectingVel analog from the
+    # Open Dynamics Engine the reference's stepper is modeled on.  A
+    # deeply interpenetrating spawn (e.g. the living-room MJCF's table
+    # lamp, mujoco_scratchpad/living_room.xml:63 — MuJoCo absorbs it with
+    # soft solref constraints) would otherwise be ejected at
+    # erp*depth/dt (~160 m/s); the cap saturates the correction at
+    # max_correcting_vel by clamping the effective depth to
+    # max_correcting_vel * dt / erp.  inf (default) = reference parity.
+    max_correcting_vel: float = float("inf")
     # Reproduce the reference APP's effective contact bounds: its
     # production path Lcp::MixedConstraintsSolver (eggshell/lcp.cc:276-298)
     # forwards inequality rows to the 2-argument MurtyPrincipalPivot,

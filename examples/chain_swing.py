@@ -12,14 +12,15 @@ from eggshell_tpu.utils.config import SimConfig, SolverKind
 from eggshell_tpu.viz import save_trajectory_animation
 
 
-def main(out_dir="."):
+def main(out_dir=".", steps: int = 1500):
     cfg = SimConfig(solver=SolverKind.PGS, solver_iters=60)
     spec, state = scenes.chain(10)
-    final, traj = rollout(spec, state, cfg, 1500, keep_trajectory=True)
+    final, traj = rollout(spec, state, cfg, int(steps), keep_trajectory=True)
     path = save_trajectory_animation(
         spec, traj, f"{out_dir}/chain_swing.gif", stride=30, fps=15
     )
     print(f"wrote {path}")
+    return final, traj
 
 
 if __name__ == "__main__":

@@ -12,8 +12,8 @@ from eggshell_tpu.fem import fdtd
 from eggshell_tpu.viz import Figure
 
 
-def main(out_dir="."):
-    n = 160
+def main(out_dir=".", n: int = 160):
+    n = int(n)
     dx = 1.0 / (n - 1)
     dt = float(fdtd.courant_dt(dx, 2, 0.7))
     pec = np.zeros((n, n), bool)
@@ -26,17 +26,20 @@ def main(out_dir="."):
     def src(t):
         return jnp.exp(-((t - t0) ** 2) / (2 * sig**2))
 
+    steps = int(n * 260 / 160)
     fin, _ = fdtd.simulate_2d(
-        f, 260, dt, dx, pec=jnp.asarray(pec),
+        f, steps, dt, dx, pec=jnp.asarray(pec),
         source_ij=(n // 2, n // 5), source_fn=src,
     )
     ez = np.asarray(fin.ez)
     print(f"field max {np.abs(ez).max():.3e}; "
           f"leaked beyond wall: {np.abs(ez[:, n//2+4:]).max():.3e}")
+    leak = float(np.abs(ez[:, n//2+4:]).max()) / float(np.abs(ez).max())
     Figure(figsize=(6, 6)).imshow(ez.T, cmap="RdBu").title(
         "Ez after aperture diffraction"
     ).save(f"{out_dir}/fdtd_aperture.png")
     print(f"wrote {out_dir}/fdtd_aperture.png")
+    return leak, ez
 
 
 if __name__ == "__main__":

@@ -31,10 +31,13 @@ LAMP = 6            # the free "table_lamp" box (scenes.living_room)
 
 def main(num_samples: int = 256, steps: int = 30):
     num_samples, steps = int(num_samples), int(steps)
+    # max_correcting_vel: the MJCF spawns the table lamp interpenetrating
+    # the dining table (living_room.xml:63 relies on MuJoCo's soft
+    # constraints); cap the ERP ejection at 2 m/s so settling is gentle.
     cfg = SimConfig(
         solver=SolverKind.JACOBI, solver_iters=30, jacobi_omega=0.3,
         jacobi_beta=0.45, conditional_cfm=False, cfm_always=0.01,
-        contact_capacity=24,
+        contact_capacity=24, max_correcting_vel=2.0,
     )
     spec, state = scenes.living_room()
 
@@ -64,6 +67,7 @@ def main(num_samples: int = 256, steps: int = 30):
     print(f"mesh: {n_dev} device(s); {samples} samples/iteration")
 
     H = 25
+    SUB = 10        # control period = 10 ms (each wrench held 10 sim steps)
     mean = jnp.zeros((H, 6), state.p.dtype)
     key = jax.random.PRNGKey(0)
     c0 = float(cost(state))
@@ -72,11 +76,13 @@ def main(num_samples: int = 256, steps: int = 30):
             spec, state, cfg, mean, jax.random.fold_in(key, i), cost,
             mesh, controlled_body=LAMP, num_samples=samples,
             noise_sigma=15.0, temperature=3e-4, noise_mode="constant",
+            substeps=SUB,
         )
         ext = jnp.zeros((spec.num_bodies, 6), state.p.dtype).at[LAMP].set(
             mean[0]
         )
-        state, _ = step_ode(spec, state, cfg, ext_force=ext)
+        for _ in range(SUB):
+            state, _ = step_ode(spec, state, cfg, ext_force=ext)
         mean = jnp.concatenate([mean[1:], jnp.zeros_like(mean[:1])])
         if (i + 1) % 10 == 0:
             print(f"step {i + 1}: lamp at "

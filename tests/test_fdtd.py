@@ -270,4 +270,4 @@ def test_export_fields_3d(tmp_path):
     fdtd.export_fields_3d(path, f, 0.25)
     back = load_mat(path)
     assert back["Ez"][4, 4, 4] == 2.0
-    assert float(back["dx"]) == 0.25
+    assert np.asarray(back["dx"]).reshape(-1)[0].item() == 0.25

@@ -283,3 +283,21 @@ def test_multimode_s_matrix_overmoded_guide():
     beta2 = np.sqrt(k0**2 - (2 * np.pi / a) ** 2)
     target = np.exp(-1j * beta2 * L)
     assert abs(np.angle(s2[1, 1] / target)) < 0.05
+
+
+def test_lobpcg_50k_nodes_sparse_on_device():
+    """The on-device eigen path at scale: >= 50k-node cavity mode solve
+    through the SPARSE generalized LOBPCG (fem/sparse.lobpcg_generalized
+    — O(nnz) memory, no densification; r2's dense-transform variant
+    would need a ~20 GB dense factor here).  Gated against host ARPACK
+    (the reference's solver, toolkit/eigensolvers.h:66-150)."""
+    from eggshell_tpu.fem import Rectangle
+    from eggshell_tpu.fem.helmholtz import solve_modes
+    from eggshell_tpu.fem.mesher import mesh_structured
+
+    cav = Rectangle(0, 0, 2.0, 1.0)
+    m = mesh_structured(cav, (0, 0), (2.0, 0), (0, 1.0), 0.0062)
+    assert m.num_points >= 50_000, m.num_points
+    v_arpack, _ = solve_modes(m, num_modes=3, dirichlet=True)
+    v_dev, _ = solve_modes(m, num_modes=3, dirichlet=True, use_lobpcg=True)
+    np.testing.assert_allclose(v_dev, v_arpack, rtol=2e-2)

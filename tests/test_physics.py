@@ -327,3 +327,28 @@ def test_step_diagnostics():
     assert float(d["max_penetration"]) >= 0
     assert float(d["kinetic_energy"]) == 0.0
     assert np.isfinite(float(d["solver_residual"]))
+
+
+def test_power_cond_estimator_matches_exact_decision():
+    """conditional_cfm with cond_estimator="power" reaches the same
+    CFM decision (and near-identical step) as the exact eigvalsh check
+    on the canonical scenes — the cheap estimator is a drop-in for the
+    f64 oracle tier (ref CheckMatrixCondition, eggshell/utils.cc:256)."""
+    import jax.numpy as jnp
+
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.stepper import step_ode
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    for mk in (lambda: scenes.box_stack(3), lambda: scenes.cairn(3, seed=7)):
+        spec, st = mk()
+        exact = SimConfig(solver=SolverKind.DIRECT, conditional_cfm=True,
+                          cond_estimator="exact", contact_capacity=32)
+        power = exact.replace(cond_estimator="power")
+        se, sp = st, st
+        for _ in range(10):
+            se, _ = step_ode(spec, se, exact)
+            sp, _ = step_ode(spec, sp, power)
+        np.testing.assert_allclose(
+            np.asarray(se.p), np.asarray(sp.p), atol=1e-9
+        )
