@@ -64,7 +64,15 @@ def _time_rollout(spec, states, cfg, H, reps=3):
     def run(sts):
         return rollout_batched(spec, sts, cfg, H)
 
-    out = run(states)
+    out = None
+    for attempt in range(3):  # transient remote-compile 500s: retry
+        try:
+            out = run(states)
+            break
+        except Exception:  # pragma: no cover
+            if attempt == 2:
+                raise
+            time.sleep(2.0 * (attempt + 1))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -92,10 +100,21 @@ def bench_configs(dtype=jnp.float32, B=4096, H=50):
     out = {}
 
     def run(name, fn):
-        try:
-            out[name] = fn()
-        except Exception as e:  # pragma: no cover
-            out[name] = {"error": repr(e)[:500]}
+        # The driver's remote-compile helper occasionally 500s on a
+        # perfectly valid program (transient infra, not a lowering
+        # failure) — retry before recording an error so one flaky
+        # compile doesn't poison the artifact.
+        last = None
+        for attempt in range(3):
+            try:
+                out[name] = fn()
+                return
+            except Exception as e:  # pragma: no cover
+                last = e
+                if "remote_compile" not in repr(e) and "INTERNAL" not in repr(e):
+                    break
+                time.sleep(2.0 * (attempt + 1))
+        out[name] = {"error": repr(last)[:500]}
 
     def timed(spec, st, cfg, jitter=1e-3, b=None):
         b = B if b is None else b
@@ -137,13 +156,14 @@ def bench_configs(dtype=jnp.float32, B=4096, H=50):
     ))
 
     # 5. Sampling MPC on the living-room manipulation task: one full
-    #    1024-sample MPPI update (H=20) on the kernel path.
+    #    4096-sample MPPI update (H=20) on the kernel path — the exact
+    #    BASELINE config #5 scenario count.
     def mpc_config():
         from eggshell_tpu.mpc.sampling import mppi_update_batched
 
         spec, st = scenes.living_room(dtype=dtype)
         cfg5 = base.replace(contact_capacity=32)
-        S, Hm = 1024, 20
+        S, Hm = 4096, 20
         target = jnp.asarray([0.0, 0.0, 0.5], dtype)
 
         def cost_fn(final):

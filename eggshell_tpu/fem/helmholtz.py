@@ -955,8 +955,7 @@ def solve_modes(
         kv2 = np.asarray(Kr.tocsr()[rr, cc]).ravel()
         mv2 = np.asarray(Mr.tocsr()[rr, cc]).ravel()
         vals_j, vecs_j = sparselib.lobpcg_generalized(
-            rr, cc, kv2, mv2, Kr.shape[0], num_modes,
-            iters=300, seed=0,
+            rr, cc, kv2, mv2, Kr.shape[0], num_modes, seed=0,
         )
         vals = np.asarray(vals_j)
         vecs = np.asarray(vecs_j)

@@ -123,6 +123,46 @@ def test_bench_config_parity_vs_direct_oracle(scene_name, steps, tol):
         assert err < tol, f"{scene_name}.{name}: |fast - oracle| = {err}"
 
 
+@pytest.mark.parametrize("jitter", [0.5e-3, 1e-3])
+def test_bench_batch_distribution_parity(jitter):
+    """bench.py perturbs the 4096-scenario batch positions by up to 1e-3
+    (linspace over the batch, bench.py _broadcast).  The oracle gate must
+    hold across that distribution, not only at the canonical point —
+    this samples the batch midpoint and extreme and re-asserts both the
+    1e-3 bound and zero contact-capacity overflow there."""
+    spec, state0 = scenes.box_stack(4, dtype=jnp.float64)
+    state0 = state0._replace(p=state0.p + jitter)
+    steps = 120
+
+    cfg_fast = _bench_cfg()
+    cfg_oracle = _oracle_cfg()
+
+    @jax.jit
+    def run_fast(st):
+        def body(s, _):
+            s2, _cs = step_ode(spec, s, cfg_fast)
+            return s2, count_dropped_contacts(spec, s, cfg_fast)
+
+        return jax.lax.scan(body, st, None, length=steps)
+
+    @jax.jit
+    def run_oracle(st):
+        def body(s, _):
+            return step_ode(spec, s, cfg_oracle)[0], None
+
+        return jax.lax.scan(body, st, None, length=steps)
+
+    fast_final, dropped = run_fast(state0)
+    oracle_final, _ = run_oracle(state0)
+
+    assert int(np.asarray(dropped).max()) == 0
+    for name in ("p", "v", "q", "w"):
+        a = np.asarray(getattr(fast_final, name), float)
+        b = np.asarray(getattr(oracle_final, name), float)
+        err = np.max(np.abs(a - b))
+        assert err < 1e-3, f"jitter={jitter} {name}: |fast - oracle| = {err}"
+
+
 def test_bench_config_parity_f32():
     """The parity bound also holds in the f32 the bench actually runs
     (x64 comparison above isolates solver truncation; this catches f32

@@ -131,20 +131,32 @@ def main(per_device_batch: int = 256, horizon: int = 20,
         # CPU mesh the 1-device baseline uses ALL cores via XLA intra-op
         # parallelism, so the weak-scaling figure is a LOWER bound; this
         # control isolates the pure sharding/collective overhead (1.0 =
-        # sharding is free at equal total compute).
-        B_fix = per_device_batch * counts[-1]
-        r1 = run(1, B_fix)
-        rN = run(counts[-1], B_fix)
+        # sharding is free at equal total compute).  Measured at SEVERAL
+        # total batch sizes: a single point can be dominated by how well
+        # XLA intra-op happens to parallelize that one shape (r2's 1.75
+        # control meant the unsharded baseline was the inefficient side);
+        # the MINIMUM over the series is the honest upper bound on the
+        # sharding machinery's cost.
+        nd_last = counts[-1]
+        series = []
+        for B_fix in (nd_last * 64, nd_last * per_device_batch,
+                      nd_last * 4 * per_device_batch):
+            r1 = run(1, B_fix)
+            rN = run(nd_last, B_fix)
+            series.append({"batch": B_fix, "value": round(rN / r1, 3)})
         ctrl = {
             "metric": "sharding overhead control "
                       "(fixed total batch, t1/tN)",
-            "devices": counts[-1],
-            "batch": B_fix,
-            "value": round(rN / r1, 3),
+            "devices": nd_last,
+            "series": series,
+            "value": min(s["value"] for s in series),
             "note": "1.0 means sharding adds no overhead at equal "
                     "total compute; virtual CPU devices share the "
                     "physical cores so this, not the weak-scaling row, "
-                    "measures the sharding machinery itself",
+                    "measures the sharding machinery itself.  Values "
+                    ">1.0 mean the unsharded single-device baseline is "
+                    "the inefficient side (XLA intra-op); min over the "
+                    "batch series bounds the machinery cost.",
         }
         record["sharding_overhead_control"] = ctrl
         print(json.dumps(ctrl))
