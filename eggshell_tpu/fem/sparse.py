@@ -207,9 +207,26 @@ def lobpcg_generalized(rows, cols, kvals, mvals, num_rows: int,
         jnp.where(rows == cols, kvals, 0.0), rows, num_segments=n
     )
     diagK = jnp.where(jnp.abs(diagK) > 0, diagK, 1.0)
+    diagM = jax.ops.segment_sum(
+        jnp.where(rows == cols, mvals, 0.0), rows, num_segments=n
+    )
 
     Kmm = lambda X: coo_matmat(rows, cols, kvals, X, n)
     Mmm = lambda X: coo_matmat(rows, cols, mvals, X, n)
+
+    # Neumann/free-mode guard (ADVICE r3): without Dirichlet rows K has
+    # a constant nullspace, so the inner system K W = R is inconsistent
+    # (R carries a theta*M*X null component) and fixed-iteration CG can
+    # amplify the null direction.  Precondition with the strictly-SPD
+    # K + sigma*M instead — as a PREconditioner the shift only perturbs
+    # the convergence rate, while bounding the solve against null-space
+    # blowup; sigma is scaled to sit well below the first nonzero
+    # eigenvalue estimate (diag ratio ~ the matrix's spectral scale).
+    sigma_pc = 1e-4 * jnp.max(jnp.abs(diagK)) / jnp.maximum(
+        jnp.max(jnp.abs(diagM)), 1e-300
+    )
+    Amm = lambda X: Kmm(X) + sigma_pc * Mmm(X)
+    diagA = diagK + sigma_pc * diagM
 
     def m_orthonormalize(S):
         # eigh-based M-orthonormalization: robust to rank-deficient
@@ -231,23 +248,24 @@ def lobpcg_generalized(rows, cols, kvals, mvals, num_rows: int,
     P = jnp.zeros_like(X)
 
     def precond(R):
-        # fixed-iteration Jacobi-preconditioned CG on K W = R, batched
-        # over the block columns.  Safe divisions: a converged (zero)
-        # residual column just stops moving.
+        # fixed-iteration Jacobi-preconditioned CG on (K + sigma M) W = R
+        # (see sigma_pc above), batched over the block columns.  Safe
+        # divisions: a converged (zero) residual column just stops
+        # moving.
         x0 = jnp.zeros_like(R)
         r0 = R
-        z0 = r0 / diagK[:, None]
+        z0 = r0 / diagA[:, None]
         rz0 = jnp.sum(r0 * z0, axis=0)
 
         def cg_body(i, c):
             x, r, p, rz = c
-            Kp = Kmm(p)
+            Kp = Amm(p)
             pKp = jnp.sum(p * Kp, axis=0)
             alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0),
                               0.0)
             x = x + p * alpha[None, :]
             r = r - Kp * alpha[None, :]
-            z = r / diagK[:, None]
+            z = r / diagA[:, None]
             rz_new = jnp.sum(r * z, axis=0)
             beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0),
                              0.0)

@@ -367,6 +367,47 @@ def _pack(x, n_comp):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _collide_boxes_lanes_vjp(interpret: bool):
+    """custom_vjp wrapper making the Pallas narrowphase differentiable:
+    forward = the lane-major kernel; backward = jax.vjp of the XLA
+    narrowphase twin (ops/collision.collide_boxes — identical semantics,
+    cross-checked lane-for-lane by the test suite).  Same pattern as the
+    fused step's VJP (physics/stepper._fused_step_diff); closes the
+    TPU-only autodiff hole where every non-fused solver path hit the
+    VJP-less kernel (jax.grad raised `Linearization failed ...` on
+    hardware while differentiating fine on CPU).  Ref analog:
+    rama/my_jet.h — derivatives through ALL of the production pipeline."""
+    from eggshell_tpu.ops import collision
+
+    @jax.custom_vjp
+    def f(p1, R1, hs1, p2, R2, hs2):
+        return collide_boxes_lanes(p1, R1, hs1, p2, R2, hs2,
+                                   interpret=interpret)
+
+    def fwd(p1, R1, hs1, p2, R2, hs2):
+        return f(p1, R1, hs1, p2, R2, hs2), (p1, R1, hs1, p2, R2, hs2)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(
+            lambda *a: jax.vmap(collision.collide_boxes)(*a), *res
+        )
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def collide_boxes_lanes_diff(p1, R1, hs1, p2, R2, hs2,
+                             interpret: bool = False):
+    """Differentiable batched SAT narrowphase: Pallas kernel forward,
+    XLA-twin backward.  Drop-in for `collide_boxes_lanes` wherever
+    jax.grad may flow through the contact geometry."""
+    return _collide_boxes_lanes_vjp(bool(interpret))(
+        p1, R1, hs1, p2, R2, hs2
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def collide_boxes_lanes(p1, R1, hs1, p2, R2, hs2, interpret: bool = False):
     """Batched SAT narrowphase with batch-on-lanes layout.

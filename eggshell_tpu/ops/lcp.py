@@ -309,10 +309,14 @@ def _sli_fwd(A, b, is_eq, lo, hi, iters, method, jacobi_omega, active_eps,
     return x, (A, b, is_eq, lo, hi, x)
 
 
-def _sli_bwd(iters, method, jacobi_omega, active_eps, jacobi_beta,
-             jacobi_block, res, g):
-    A, b, is_eq, lo, hi, x = res
-    eps = active_eps
+def ift_adjoint(A, b, is_eq, lo, hi, x, g, eps=1e-8):
+    """Shared implicit-function-theorem LCP adjoint: given the solution
+    x of the mixed box LCP and the output cotangent g, return
+    (gA, gb, glo, ghi).  At the solution the active set is fixed, so x
+    solves the reduced linear system on the free rows; clamped rows
+    propagate to their bound.  Used by both the iterative
+    `solve_lcp_implicit` and the direct pivot solver's VJP
+    (ops/lcp_direct.mixed_constraints_solver_implicit)."""
     free = is_eq | ((x > lo + eps) & (x < hi - eps))
     at_lo = (~free) & (x <= lo + eps)
     at_hi = (~free) & (~at_lo)
@@ -329,6 +333,14 @@ def _sli_bwd(iters, method, jacobi_omega, active_eps, jacobi_beta,
     gbound = g - A.T @ u
     glo = jnp.where(at_lo, gbound, 0.0)
     ghi = jnp.where(at_hi, gbound, 0.0)
+    return gA, gb, glo, ghi
+
+
+def _sli_bwd(iters, method, jacobi_omega, active_eps, jacobi_beta,
+             jacobi_block, res, g):
+    A, b, is_eq, lo, hi, x = res
+    gA, gb, glo, ghi = ift_adjoint(A, b, is_eq, lo, hi, x, g,
+                                   eps=active_eps)
     return gA, gb, None, glo, ghi
 
 

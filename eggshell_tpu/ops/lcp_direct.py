@@ -209,3 +209,39 @@ def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = 256,
     x = jnp.where(E, x_e, x_i)
     w = jnp.where(E, 0.0, jnp.where(I, w_i, 0.0))
     return x, w, ok
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (implicit-function-theorem VJP)
+
+
+@jax.custom_vjp
+def mixed_constraints_solver_implicit(A, b, is_eq, lo, hi):
+    """`mixed_constraints_solver` with a reverse-mode VJP.
+
+    The pivoting forward pass runs a lax.while_loop (not reverse-
+    differentiable), but at the solution the active set is fixed, so the
+    backward pass is the same one-adjoint-solve IFT rule the iterative
+    path uses (ops/lcp.ift_adjoint, OptNet-style) — making
+    SolverKind.DIRECT usable inside jax.grad like every other solver
+    (the reference's my_jet.h has no derivatives through its LCP at all;
+    SURVEY §7 step 6 makes the whole step differentiable).  Returns x
+    only (use the plain solver for (x, w, info))."""
+    x, _, _ = mixed_constraints_solver(A, b, is_eq, lo, hi)
+    return x
+
+
+def _mci_fwd(A, b, is_eq, lo, hi):
+    x = mixed_constraints_solver_implicit(A, b, is_eq, lo, hi)
+    return x, (A, b, is_eq, lo, hi, x)
+
+
+def _mci_bwd(res, g):
+    from eggshell_tpu.ops import lcp as _lcp
+
+    A, b, is_eq, lo, hi, x = res
+    gA, gb, glo, ghi = _lcp.ift_adjoint(A, b, is_eq, lo, hi, x, g)
+    return gA, gb, None, glo, ghi
+
+
+mixed_constraints_solver_implicit.defvjp(_mci_fwd, _mci_bwd)

@@ -149,13 +149,32 @@ def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig,
 
 def count_dropped_contacts(spec: SceneSpec, state: State, cfg: SimConfig):
     """Number of active contact candidates that did NOT fit into the
-    cfg.contact_capacity lanes (capacity overflow — silently truncated by
-    `make_contacts`).  Zero means the capacity is sufficient for this
-    state; surfaced through `stepper.step_diagnostics` so perf tuning of
-    the capacity knob is observable (no reference analog: the reference's
-    contact vector is dynamically sized, eggshell/ensembles.cc:445-480)."""
+    cfg.contact_capacity lanes, PLUS (scaled) overlapping pairs the
+    broadphase gate truncated at cfg.pair_capacity — both are silent
+    contact loss (a truncated pair never even reaches the narrowphase;
+    in a collapsing pile that is exactly the tunneling-then-ejection
+    failure mode).  Zero means both capacities are sufficient for this
+    state; surfaced through `stepper.step_diagnostics` so perf tuning
+    of the capacity knobs is observable (no reference analog: the
+    reference's contact vector is dynamically sized,
+    eggshell/ensembles.cc:445-480)."""
     _, _, _, _, _, act = _candidates(spec, state, cfg)
-    return jnp.maximum(jnp.sum(act.astype(jnp.int32)) - cfg.contact_capacity, 0)
+    dropped = jnp.maximum(
+        jnp.sum(act.astype(jnp.int32)) - cfg.contact_capacity, 0
+    )
+    if 0 < cfg.pair_capacity < spec.num_pairs:
+        from eggshell_tpu.ops import broadphase
+
+        mask = broadphase.pair_overlap_mask(
+            state.p, state.q, spec.half_extents,
+            spec.pair_i, spec.pair_j, cfg.broadphase_margin,
+        )
+        pair_drop = jnp.maximum(
+            jnp.sum(mask.astype(jnp.int32)) - cfg.pair_capacity, 0
+        )
+        # each truncated pair can carry up to MAX_CONTACTS_PER_PAIR lanes
+        dropped = dropped + pair_drop * collision.MAX_CONTACTS_PER_PAIR
+    return dropped
 
 
 def _dedupe(spec: SceneSpec, state: State, cs: ContactSet, cfg: SimConfig):
@@ -251,13 +270,15 @@ def make_contacts_batched(
     P = spec.num_pairs
     backend_tpu = jax.default_backend() == "tpu"
     if use_kernel is None:
-        use_kernel = backend_tpu
+        use_kernel = (
+            backend_tpu if cfg.contact_kernel is None else cfg.contact_kernel
+        )
     use_kernel = use_kernel and P > 0
 
     if not use_kernel:
         return jax.vmap(lambda st: make_contacts(spec, st, cfg))(states)
 
-    from eggshell_tpu.ops.collision_kernel import collide_boxes_lanes
+    from eggshell_tpu.ops.collision_kernel import collide_boxes_lanes_diff
 
     B = states.p.shape[0]
     R = quat.quat_to_mat(states.q)                     # (B, n, 3, 3)
@@ -290,7 +311,7 @@ def make_contacts_batched(
         he_j = jnp.broadcast_to(spec.half_extents[pj], (B, Pk, 3))
 
     flat = lambda x: x.reshape((B * Pk,) + x.shape[2:])
-    out = collide_boxes_lanes(
+    out = collide_boxes_lanes_diff(
         flat(p_i), flat(R_i), flat(he_i),
         flat(p_j), flat(R_j), flat(he_j),
         interpret=not backend_tpu,

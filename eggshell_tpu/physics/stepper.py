@@ -115,10 +115,13 @@ def system_matrix(
 
 def _solve_lambda(A, rhs, sys: ConstraintSystem, cfg: SimConfig):
     if cfg.solver == SolverKind.DIRECT:
-        lam, _, _ = lcp_direct.mixed_constraints_solver(
+        # IFT-VJP wrapper: the pivot loop itself is a while_loop (not
+        # reverse-differentiable), but the solution's active set gives
+        # the exact adjoint — jax.grad works through the oracle path
+        # too (ops/lcp_direct.mixed_constraints_solver_implicit).
+        return lcp_direct.mixed_constraints_solver_implicit(
             A, rhs, sys.is_eq, sys.lo, sys.hi
         )
-        return lam
     method = {
         SolverKind.PGS: "pgs",
         SolverKind.JACOBI: "jacobi",
@@ -178,17 +181,20 @@ def _post_solve(state, cfg, sys, lam, u, Minv, F):
     return State(p=p_new, v=u_new[:, :3], q=q_new, w=u_new[:, 3:])
 
 
-def _step_matrix_free(spec, state, cfg, ext_force):
+def _step_matrix_free(spec, state, cfg, ext_force, cs=None):
     """ODE step for ONE LARGE scene: compact two-body constraint blocks +
     matrix-free projected Jacobi — O(n + K) memory, JMJ^T never formed
     (ref sparse_iterations_utils.cc:624-695 CalculateSparseJMJtX, the
-    reference's answer to exactly this scaling problem)."""
+    reference's answer to exactly this scaling problem).  `cs` injects a
+    precomputed contact set (the batched path detects contacts for all
+    scenes with the lane-major Pallas narrowphase first)."""
     from eggshell_tpu.ops import lcp_matrix_free as mf
     from eggshell_tpu.physics.constraints import build_compact_constraints
 
     dt = cfg.dt
     n = spec.num_bodies
-    cs = make_contacts(spec, state, cfg)
+    if cs is None:
+        cs = make_contacts(spec, state, cfg)
     sysc = build_compact_constraints(spec, state, cs, cfg)
 
     u = scn.pack_velocity(state)
@@ -458,6 +464,27 @@ def step_ode_batched(
     )
     if use_fused_pre:
         return _fused_step_diff(cfg)(spec, states, ext_forces)
+
+    if cfg.solver == SolverKind.MATRIX_FREE:
+        # Batched large-scene tier: contacts for ALL scenes via the
+        # lane-major Pallas narrowphase (one kernel call), then vmap the
+        # O(K)-memory compact-block step (ref
+        # sparse_iterations_utils.cc:624-695) — a batch of piles never
+        # forms any (3K)^2 matrix.
+        css = make_contacts_batched(spec, states, cfg)
+        if ext_forces is None:
+            return jax.vmap(
+                lambda st, cs: _step_matrix_free(spec, st, cfg, None,
+                                                 cs=cs)[0]
+            )(states, css)
+        ext_b = (
+            jnp.broadcast_to(ext_forces, states.p.shape[:1] + ext_forces.shape)
+            if ext_forces.ndim == 2 else ext_forces
+        )
+        return jax.vmap(
+            lambda st, cs, ex: _step_matrix_free(spec, st, cfg, ex,
+                                                 cs=cs)[0]
+        )(states, css, ext_b)
 
     css = make_contacts_batched(spec, states, cfg)
 

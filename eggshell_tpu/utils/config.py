@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import json
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class FrictionModel(enum.IntEnum):
@@ -140,6 +140,12 @@ class SimConfig:
     # eggshell/ensembles.cc:460-474).
     pair_capacity: int = 0
     broadphase_margin: float = 0.0
+    # Batched narrowphase dispatch: None = auto (the Pallas lane-major
+    # kernel on TPU, the vmapped XLA path elsewhere); True/False force
+    # one side.  The kernel path is differentiable everywhere (custom
+    # VJP with the XLA-twin backward, ops/collision_kernel), so CPU CI
+    # can pin the TPU configuration by setting True (interpret mode).
+    contact_kernel: Optional[bool] = None
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

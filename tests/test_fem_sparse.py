@@ -301,3 +301,29 @@ def test_lobpcg_50k_nodes_sparse_on_device():
     v_arpack, _ = solve_modes(m, num_modes=3, dirichlet=True)
     v_dev, _ = solve_modes(m, num_modes=3, dirichlet=True, use_lobpcg=True)
     np.testing.assert_allclose(v_dev, v_arpack, rtol=2e-2)
+
+
+def test_lobpcg_neumann_free_modes():
+    """dirichlet=False (Neumann/free modes): K is singular — its
+    constant nullspace IS the lambda=0 mode — which made the r3 CG
+    preconditioner's inner solve K W = R inconsistent (ADVICE r3: the
+    null component of R can be amplified).  The shifted (K + sigma M)
+    preconditioner must keep LOBPCG stable here, recovering lambda_0 ~ 0
+    and the first nonzero Neumann eigenvalues of the rectangle
+    (analytic: pi^2 (p/a)^2 + pi^2 (q/b)^2)."""
+    from eggshell_tpu.fem import Rectangle
+    from eggshell_tpu.fem.helmholtz import solve_modes
+    from eggshell_tpu.fem.mesher import mesh_structured
+
+    a, b = 2.0, 1.0
+    cav = Rectangle(0, 0, a, b)
+    m = mesh_structured(cav, (0, 0), (a, 0), (0, b), 0.05)
+    v_dev, _ = solve_modes(m, num_modes=4, dirichlet=False,
+                           use_lobpcg=True)
+    analytic = sorted(
+        (np.pi * p / a) ** 2 + (np.pi * q / b) ** 2
+        for p in range(4) for q in range(4)
+    )[:4]
+    # constant mode at ~0, then the analytic Neumann ladder
+    assert abs(v_dev[0]) < 1e-3 * analytic[1]
+    np.testing.assert_allclose(v_dev[1:4], analytic[1:4], rtol=2e-2)

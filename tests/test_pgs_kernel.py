@@ -352,3 +352,77 @@ def test_packed_block_mode_matches_xla_block_jacobi():
             np.asarray(getattr(out_k, f)), np.asarray(getattr(out_x, f)),
             atol=3e-5,
         )
+
+
+def test_packed_stream_mode_matches_resident_kernel():
+    """The HBM-streaming packed kernel (stream=True: A arrives in
+    double-buffered row chunks on an (iters, nchunks) grid instead of
+    residing in VMEM) computes the IDENTICAL sweep to the resident
+    kernel — streaming is a memory schedule, not a different solver.
+    This is the schedule that keeps contact capacities > ~36 on the
+    fused path at full batch (round-3 VERDICT weak #5)."""
+    from eggshell_tpu.ops.jassembly_kernel import (
+        _pack,
+        contact_jacobian_blocks,
+    )
+    from eggshell_tpu.ops.amat_kernel import contact_system_matrix_packed
+    from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_packed
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.stepper import step_ode_batched
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+    import eggshell_tpu.physics.scene as scn
+    from eggshell_tpu.physics.contacts import make_contacts_batched
+
+    dtype = jnp.float32
+    cfg = SimConfig(solver=SolverKind.JACOBI_KERNEL, solver_iters=10,
+                    jacobi_omega=0.3, jacobi_beta=0.45,
+                    conditional_cfm=False, cfm_always=0.01,
+                    contact_capacity=16)
+    cfg_warm = cfg.replace(solver=SolverKind.JACOBI)
+    spec, state = scenes.box_stack(4, dtype=dtype)
+    B = 4
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+    )
+    states = states._replace(
+        p=states.p + jnp.linspace(0, 1e-3, B)[:, None, None].astype(dtype)
+    )
+    for _ in range(3):
+        states = step_ode_batched(spec, states, cfg_warm)
+
+    css = make_contacts_batched(spec, states, cfg)
+
+    def per_scene(state):
+        u = scn.pack_velocity(state)
+        Minv_one = scn.inv_mass_blocks(spec, state)
+        F = scn.external_forces(spec, state, cfg.gravity)
+        return u / cfg.dt + jnp.einsum("nij,nj->ni", Minv_one, F)
+
+    uhat = jax.vmap(per_scene)(states)
+    Minv = jax.vmap(lambda st: scn.inv_mass_blocks(spec, st))(states)
+    _, _, packed = contact_jacobian_blocks(
+        css.b0, css.b1, css.position, css.normal, css.depth, css.active,
+        states.p, uhat, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        interpret=True, also_packed=True,
+    )
+    n = spec.num_bodies
+    K = cfg.contact_capacity
+    invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
+    invm_p, _, _, _ = _pack(invm, n)
+    invig_p, _, _, _ = _pack(Minv[:, :, 3:, 3:].reshape(B, 9 * n), 9 * n)
+    Ap = contact_system_matrix_packed(
+        packed["jc"], packed["b0"], packed["b1"], packed["act"],
+        invm_p, invig_p, K=K, n=n, cfm=float(cfg.cfm_always),
+        interpret=True,
+    )
+    common = dict(K=K, mu=float(cfg.friction_bound), iters=10, omega=0.3,
+                  beta=0.45, interpret=True)
+    lam_resident = solve_lcp_jacobi_packed(
+        Ap, packed["rhs"], packed["act"], stream=False, **common
+    )
+    lam_stream = solve_lcp_jacobi_packed(
+        Ap, packed["rhs"], packed["act"], stream=True, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(lam_stream), np.asarray(lam_resident), rtol=0, atol=1e-6
+    )

@@ -15,6 +15,7 @@ mkdir -p "$BUILD" "$OUT"
 SRCS=(
   "$REF/eggshell/ensembles.cc"
   "$REF/eggshell/lcp.cc"
+  "$REF/toolkit/lcp.cc"
   "$REF/eggshell/collision.cc"
   "$REF/eggshell/utils.cc"
   "$REF/eggshell/body.cc"
@@ -33,6 +34,8 @@ SRCS=(
 # (ensembles.cc:157) that newer Eigen's debug assertions reject; released
 # builds of the reference run with assertions compiled out.
 g++ -O2 -std=c++17 -w -DNDEBUG -DEIGEN_NO_DEBUG \
+  -DTOOLKIT_LCP_H="\"$REF/toolkit/lcp.h\"" \
+  -include "$HERE/now_decl.h" \
   -I"$REF/eggshell" -I"$REF/toolkit" -I"$EIGEN" \
   "${SRCS[@]}" -o "$BUILD/gen_golden"
 

@@ -14,3 +14,7 @@ void DrawCapsule(const Eigen::Vector3d &, const Eigen::Matrix3d &, double,
 void DrawPoint(const Eigen::Vector3d &, int) {}
 void DrawLine(const Eigen::Vector3d &, const Eigen::Vector3d &, int) {}
 void EggPlot(const Eigen::VectorXd &, const Eigen::MatrixXd &, const char *) {}
+
+// toolkit/lcp.cc's TEST_FUNCTION timing hook (never exercised: the
+// golden generator does not call testing::RunAll).
+double Now() { return 0.0; }
