@@ -409,6 +409,53 @@ def collide_boxes_lanes_diff(p1, R1, hs1, p2, R2, hs2,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def collide_boxes_lanes_packed(p1, R1, hs1, p2, R2, hs2,
+                               interpret: bool = False):
+    """Like `collide_boxes_lanes` but returns the RAW packed outputs
+    (pos (nt, 3*MP, 8, 128), nrm (nt, 3, 8, 128), dep/act (nt, MP, 8,
+    128)) without the unpack relayout — for kernel-to-kernel chaining
+    into ops/compact_kernel (B must be a TILE multiple so packing adds
+    no padding rows)."""
+    B = p1.shape[0]
+    assert B % TILE == 0, B
+    p1t, _, _, nt = _pack(p1, 3)
+    p2t, _, _, _ = _pack(p2, 3)
+    h1t, _, _, _ = _pack(hs1, 3)
+    h2t, _, _, _ = _pack(hs2, 3)
+    r1t, _, _, _ = _pack(R1.reshape(-1, 9), 9)
+    r2t, _, _, _ = _pack(R2.reshape(-1, 9), 9)
+
+    def spec(c):
+        return pl.BlockSpec(
+            (None, c, SUB, LANE), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    dtype = p1.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((nt, 3 * MAX_POLY, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, 3, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, MAX_POLY, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, MAX_POLY, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, 1, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, 1, SUB, LANE), dtype),
+        jax.ShapeDtypeStruct((nt, 3, SUB, LANE), dtype),
+    )
+    pos, nrm, dep, act, _code, _idep, _iax = pl.pallas_call(
+        _narrowphase_kernel,
+        grid=(nt,),
+        in_specs=[spec(3), spec(9), spec(3), spec(3), spec(9), spec(3)],
+        out_specs=(
+            spec(3 * MAX_POLY), spec(3), spec(MAX_POLY), spec(MAX_POLY),
+            spec(1), spec(1), spec(3),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(p1t, r1t, h1t, p2t, r2t, h2t)
+    return pos, nrm, dep, act
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def collide_boxes_lanes(p1, R1, hs1, p2, R2, hs2, interpret: bool = False):
     """Batched SAT narrowphase with batch-on-lanes layout.
 

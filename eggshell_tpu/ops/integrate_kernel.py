@@ -117,11 +117,12 @@ def _pack(x, ncomp):
     return flat.reshape(nt, SUB, LANE, ncomp).transpose(0, 3, 1, 2), B, Bp, nt
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dt", "interpret", "K"))
 def integrate_step(
     Jc, lam, b0, b1, p, q, v, w, Minv, F, dt: float,
     interpret: bool = False, jc_packed=None, lam_packed=None,
     invig_packed=None, f_packed=None, inv_mass=None,
+    b0_packed=None, b1_packed=None, K=None,
 ):
     """Fused post-solve integration over a scenario batch.
 
@@ -131,9 +132,13 @@ def integrate_step(
     from the jassembly kernel (skips a repack of the largest input);
     `invig_packed`/`f_packed` likewise take the world inverse inertia
     (nt, 9n, 8, 128) and forces (nt, 6n, 8, 128) straight from
-    ops/prep_kernel (then Minv / F may be None).
+    ops/prep_kernel (then Minv / F may be None); `b0_packed`/`b1_packed`
+    the lane bodies straight from ops/compact_kernel (then b0/b1 may be
+    None and `K` must be given).
     Returns (p_new, q_new, v_new, w_new) with the leading batch dim."""
-    B, K = b0.shape
+    B = p.shape[0]
+    if K is None:
+        _, K = b0.shape
     n = p.shape[1]
     dtype = p.dtype
 
@@ -147,8 +152,11 @@ def integrate_step(
         lamt = lam_packed[:, :3 * K]   # drop LCP padding rows
     else:
         lamt, _, _, _ = _pack(lam, 3 * K)
-    b0t, _, _, _ = _pack(b0.astype(dtype), K)
-    b1t, _, _, _ = _pack(b1.astype(dtype), K)
+    if b0_packed is not None:
+        b0t, b1t = b0_packed, b1_packed
+    else:
+        b0t, _, _, _ = _pack(b0.astype(dtype), K)
+        b1t, _, _, _ = _pack(b1.astype(dtype), K)
     pt, _, _, _ = _pack(p, 3 * n)
     qt, _, _, _ = _pack(q, 4 * n)
     vt, _, _, _ = _pack(v, 3 * n)

@@ -183,6 +183,46 @@ def _pack(x, ncomp):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("K", "n", "nt", "erp_dt2", "interpret")
+)
+def contact_jacobian_blocks_from_packed(
+    b0t, b1t, post, pos1t, nrmt, dept, actt, eqt, pt, ut,
+    K: int, n: int, nt: int, erp_dt2: float, interpret: bool = False,
+):
+    """Packed-input entry: all inputs already in the scene-on-lanes
+    tile layout (straight from ops/compact_kernel + ops/prep_kernel) —
+    no XLA pack relayouts at all.  Returns the packed dict consumed by
+    ops/amat_kernel / ops/pgs_kernel / ops/integrate_kernel."""
+    dtype = post.dtype
+    kernel = functools.partial(
+        _jassembly_kernel, K=K, n=n, erp_dt2=erp_dt2
+    )
+
+    def spec(c):
+        return pl.BlockSpec(
+            (None, c, SUB, LANE), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    jc, rhs = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[spec(K), spec(K), spec(3 * K), spec(3 * K), spec(3 * K),
+                  spec(K), spec(K), spec(K), spec(3 * n), spec(6 * n)],
+        out_specs=(spec(K * 36), spec(3 * K)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, K * 36, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nt, 3 * K, SUB, LANE), dtype),
+        ),
+        interpret=interpret,
+    )(b0t, b1t, post, pos1t, nrmt, dept, actt, eqt, pt, ut)
+    return {
+        "jc": jc, "rhs": rhs, "b0": b0t, "b1": b1t, "act": actt,
+        "eq": eqt,
+    }
+
+
+@functools.partial(
     jax.jit, static_argnames=("erp_dt2", "interpret", "also_packed")
 )
 def contact_jacobian_blocks(

@@ -161,18 +161,21 @@ def _block_jacobi_kernel(A_ref, b_ref, diag_ref, eq_ref, lo_ref, hi_ref,
     x_ref[:] = jax.lax.fori_loop(0, iters, sweep, proj(b))
 
 
-def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
+def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, diag_ref, x_ref,
                           *, K, mp, mu, iters, omega, beta, block=False):
     # Blocks for ONE sublane stripe (128 scenarios); leading (nt, sub)
-    # dims are squeezed: a (mp*mp, L), b (3K, L), act/eq (K, L);
-    # out (mp, L).  eq lanes (ball joints) are unclamped equality rows.
-    # With `block`, each contact's 3x3 diagonal block is solved EXACTLY
-    # per sweep (precomputed adjugate inverses) — the packed analog of
-    # _block_jacobi_kernel; converges in ~half the sweeps on frictional
-    # stacks at the same per-sweep cost (+ the one-time inverse setup).
+    # dims are squeezed: a (mp*mp, L), b (3K, L), act/eq (K, L),
+    # diag (mp, L); out (mp, L).  eq lanes (ball joints) are unclamped
+    # equality rows.  The scalar path never materializes A as a value —
+    # row blocks are read straight from the (double-buffered) input ref
+    # per sweep, keeping scoped VMEM at 2x|A| + vectors: a full value
+    # copy of A on top of the ref blew the 16 MB scoped limit at
+    # mp = 96 (surfacing as a remote-compile 500 — round-3's
+    # "capacity 36 VMEM ceiling").  With `block`, each contact's 3x3
+    # diagonal block is solved EXACTLY per sweep (precomputed adjugate
+    # inverses; this branch does read A as a value — small-mp only).
     L = LANES_PACKED
     m3 = 3 * K
-    A = a_ref[:].reshape(mp, mp, L)
     b3 = b_ref[:]
     act = act_ref[:]
     eq = eq_ref[:]
@@ -202,9 +205,7 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
     lo = padded(lo3)
     hi = padded(hi3)
 
-    diag = jnp.concatenate(
-        [A[i, i, :][None] for i in range(mp)], axis=0
-    )
+    diag = diag_ref[:]
     inv_diag = 1.0 / diag
 
     def proj(x):
@@ -215,11 +216,14 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, x_ref,
     def ax_of(x):
         ax_rows = []
         for ib in range(nb):
-            a_blk = A[ib * _ROW_BLOCK:(ib + 1) * _ROW_BLOCK]
+            a_blk = a_ref[
+                pl.ds(ib * _ROW_BLOCK * mp, _ROW_BLOCK * mp), :
+            ].reshape(_ROW_BLOCK, mp, L)
             ax_rows.append(jnp.sum(a_blk * x[None, :, :], axis=1))
         return jnp.concatenate(ax_rows, axis=0)
 
     if block:
+        A = a_ref[:].reshape(mp, mp, L)
         # 3x3 diagonal-block adjugate inverses (inactive lanes have unit
         # diagonals => Binv = I, harmless)
         a = [[jnp.concatenate(
@@ -288,8 +292,11 @@ _SUB = 8
 # Double-buffered A budget for the resident (all-VMEM) packed kernel;
 # beyond this the kernel streams A from HBM in row chunks instead of
 # falling off the fused path (round-3 VERDICT weak #5: the packed-A
-# VMEM ceiling capped the kernel at ~36 contact lanes).
-_VMEM_A_BUDGET = 10 * 1024 * 1024
+# VMEM ceiling capped the kernel at ~36 contact lanes).  Set so only
+# mp <= 64 stays resident: mp = 96 hit a 20 MB scoped-VMEM OOM before
+# the A-value fix and pathological Mosaic compile times after it; the
+# streamed schedule compiles fast and is bandwidth-priced instead.
+_VMEM_A_BUDGET = 5 * 1024 * 1024
 
 
 def _stream_chunk_rows(mp: int) -> int:
@@ -476,6 +483,11 @@ def solve_lcp_jacobi_packed(
         )
         return x.transpose(0, 2, 1, 3)
 
+    # diag(A) gathered XLA-side (the in-kernel extraction needed A as a
+    # value — see the kernel docstring's VMEM note)
+    didx = jnp.arange(mp) * mp + jnp.arange(mp)
+    diag_s = jnp.take(A_packed, didx, axis=2)      # (nt, 8, mp, 128)
+
     kernel = functools.partial(
         _jacobi_packed_kernel, K=K, mp=mp, mu=mu, iters=iters, omega=omega,
         beta=beta, block=block,
@@ -490,11 +502,11 @@ def solve_lcp_jacobi_packed(
     x = pl.pallas_call(
         kernel,
         grid=(nt, _SUB),
-        in_specs=[spec(mp * mp), spec(m3), spec(K), spec(K)],
+        in_specs=[spec(mp * mp), spec(m3), spec(K), spec(K), spec(mp)],
         out_specs=spec(mp),
         out_shape=jax.ShapeDtypeStruct((nt, _SUB, mp, LANES_PACKED), dtype),
         interpret=interpret,
-    )(A_packed, rhs_s, act_s, eq_s)
+    )(A_packed, rhs_s, act_s, eq_s, diag_s)
     return x.transpose(0, 2, 1, 3)             # back to (nt, mp, 8, 128)
 
 

@@ -367,6 +367,186 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     return State(p=pn, v=vn, q=qn, w=wn)
 
 
+def _all_kernel_eligible(spec, states, cfg) -> bool:
+    """The fully kernel-chained step covers contact-only scenes (no
+    joints: the joint-contact dedupe rule needs anchors) at TILE-aligned
+    batch sizes, with the kernel narrowphase enabled."""
+    from eggshell_tpu.ops.compact_kernel import TILE
+
+    use_kernel = cfg.contact_kernel
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    return (
+        use_kernel
+        and spec.num_joints == 0
+        and states.p.shape[0] % TILE == 0
+    )
+
+
+def _fused_step_all_kernel(spec, states, cfg, ext_forces):
+    """Fully kernel-chained batched step: narrowphase -> compaction +
+    dedupe (ops/compact_kernel) -> J-assembly -> A-formation -> packed
+    LCP -> integrate, with every intermediate staying in the packed
+    scene-on-lanes tile layout — no XLA compaction matmuls, cumsums, or
+    pack/unpack relayouts anywhere in the chain.  Round-4 on-chip
+    profiling showed that XLA glue costing more than all five kernels
+    combined (~1 ms of the 1.7 ms step at B=4096)."""
+    import math
+
+    from eggshell_tpu.ops import compact_kernel as ck
+    from eggshell_tpu.ops.amat_kernel import contact_system_matrix_packed
+    from eggshell_tpu.ops.collision_kernel import collide_boxes_lanes_packed
+    from eggshell_tpu.ops.integrate_kernel import integrate_step
+    from eggshell_tpu.ops.jassembly_kernel import (
+        _pack,
+        contact_jacobian_blocks_from_packed,
+    )
+    from eggshell_tpu.ops.pgs_kernel import solve_lcp_jacobi_packed
+    from eggshell_tpu.ops.prep_kernel import prep_packed
+
+    B = states.p.shape[0]
+    n = spec.num_bodies
+    K = cfg.contact_capacity
+    dtype = states.p.dtype
+    interpret = jax.default_backend() != "tpu"
+    nt = B // ck.TILE
+
+    # body prep (R, world inertia, forces, uhat) — one packed kernel
+    ext_b = None
+    if ext_forces is not None:
+        ext_b = jnp.broadcast_to(ext_forces, (B, n, 6)) \
+            if ext_forces.ndim == 2 else ext_forces
+    uhat_p, invig_p, f_p = prep_packed(
+        states.q, states.v, states.w, spec.inv_mass,
+        spec.inertia_body, spec.inv_inertia_body,
+        dt=float(cfg.dt), gravity=tuple(cfg.gravity),
+        interpret=interpret, ext_forces=ext_b,
+    )
+
+    # scene-layout state packs (the only layout changes in the chain;
+    # broadcast spec constants hoist out of any scan)
+    pt, _, _, _ = _pack(states.p, 3 * n)
+    qt, _, _, _ = _pack(states.q, 4 * n)
+    hs_b = jnp.broadcast_to(
+        spec.half_extents.astype(dtype).reshape(1, 3 * n), (B, 3 * n)
+    )
+    hst, _, _, _ = _pack(hs_b, 3 * n)
+    gen_b = jnp.broadcast_to(
+        spec.ground_enabled.astype(dtype).reshape(1, n), (B, n)
+    )
+    gent, _, _, _ = _pack(gen_b, n)
+
+    # pair selection (static all-pairs, or per-scene broadphase subset)
+    P = spec.num_pairs
+    if P == 0:
+        # ground-only scenes (box_drop): no narrowphase at all
+        pp_pos = pp_nrm = pp_dep = pp_act = pb0 = pb1 = None
+        Pk = 0
+    R = quat.quat_to_mat(states.q) if P > 0 else None
+    if P == 0:
+        pass
+    elif 0 < cfg.pair_capacity < P:
+        from eggshell_tpu.ops import broadphase
+
+        def select(state_one):
+            mask = broadphase.pair_overlap_mask(
+                state_one.p, state_one.q, spec.half_extents,
+                spec.pair_i, spec.pair_j, cfg.broadphase_margin,
+            )
+            return broadphase.select_pairs(
+                mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
+            )
+
+        pi, pj, gate = jax.vmap(select)(states)        # (B, pc)
+        Pk = cfg.pair_capacity
+        gate_f = gate.astype(dtype)
+        bidx = jnp.arange(B)[:, None]
+        p_i, R_i = states.p[bidx, pi], R[bidx, pi]
+        p_j, R_j = states.p[bidx, pj], R[bidx, pj]
+        he_i, he_j = spec.half_extents[pi], spec.half_extents[pj]
+    else:
+        Pk = P
+        pi = jnp.broadcast_to(spec.pair_i, (B, P))
+        pj = jnp.broadcast_to(spec.pair_j, (B, P))
+        gate_f = jnp.ones((B, P), dtype)
+        p_i, R_i = states.p[:, spec.pair_i], R[:, spec.pair_i]
+        p_j, R_j = states.p[:, spec.pair_j], R[:, spec.pair_j]
+        he_i = jnp.broadcast_to(spec.half_extents[spec.pair_i], (B, Pk, 3))
+        he_j = jnp.broadcast_to(spec.half_extents[spec.pair_j], (B, Pk, 3))
+
+    if P > 0:
+        ngroups = -(-Pk // ck.GROUP)
+        Pkp = ngroups * ck.GROUP
+
+        def flat_pairs(x):
+            """(B, Pk, ...) -> scene-tile-major flat (nt*Pkp*TILE, ...):
+            entry ((t*Pkp + pk)*TILE + s) = scene (t*TILE + s), pair pk
+            — so the narrowphase pack puts pair pk of scene-tile t at
+            row t*Pkp + pk with scenes on (sublane, lane)."""
+            trail = x.shape[2:]
+            c = 1
+            for d in trail:
+                c *= d
+            xp = x.reshape(B, Pk, c)
+            if Pkp != Pk:
+                xp = jnp.pad(xp, ((0, 0), (0, Pkp - Pk), (0, 0)))
+            out = xp.reshape(nt, ck.TILE, Pkp, c).transpose(0, 2, 1, 3)
+            return out.reshape((nt * Pkp * ck.TILE,) + trail)
+
+        pp_pos, pp_nrm, pp_dep, pp_act = collide_boxes_lanes_packed(
+            flat_pairs(p_i), flat_pairs(R_i), flat_pairs(he_i),
+            flat_pairs(p_j), flat_pairs(R_j), flat_pairs(he_j),
+            interpret=interpret,
+        )
+        gate_p = ck.pack_pairs(gate_f[:, :, None], nt, Pkp)
+        pp_act = pp_act * gate_p                  # same layout: fused
+        pb0 = ck.pack_pairs(pi.astype(dtype)[:, :, None], nt, Pkp)
+        pb1 = ck.pack_pairs(pj.astype(dtype)[:, :, None], nt, Pkp)
+
+    cap = None
+    if not math.isinf(cfg.max_correcting_vel):
+        cap = float(
+            cfg.max_correcting_vel * cfg.dt / max(cfg.erp, 1e-12)
+        )
+    b0t, b1t, post, nrmt, dept, actt = ck.compact_contacts_packed(
+        pt, qt, hst, gent, pp_pos, pp_nrm, pp_dep, pp_act, pb0, pb1,
+        K=K, n=n, Pk=Pk, nt=nt,
+        eps2=float(cfg.min_constraint_distance**2),
+        depth_cap=cap, interpret=interpret,
+    )
+    eqt = jnp.zeros_like(actt)
+
+    packed = contact_jacobian_blocks_from_packed(
+        b0t, b1t, post, post, nrmt, dept, actt, eqt, pt, uhat_p,
+        K=K, n=n, nt=nt, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        interpret=interpret,
+    )
+
+    invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
+    invm_packed, _, _, _ = _pack(invm, n)
+    A_packed = contact_system_matrix_packed(
+        packed["jc"], packed["b0"], packed["b1"], packed["act"],
+        invm_packed, invig_p, K=K, n=n,
+        cfm=float(cfg.cfm_always), interpret=interpret,
+    )
+    lam_packed = solve_lcp_jacobi_packed(
+        A_packed, packed["rhs"], packed["act"], K=K,
+        mu=float(cfg.friction_bound), iters=cfg.solver_iters,
+        omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
+        interpret=interpret, eq_packed=packed["eq"],
+        block=bool(cfg.jacobi_block),
+    )
+    pn, qn, vn, wn = integrate_step(
+        None, None, None, None, states.p, states.q, states.v,
+        states.w, None, None, dt=float(cfg.dt), interpret=interpret,
+        jc_packed=packed["jc"], lam_packed=lam_packed,
+        invig_packed=invig_p, f_packed=f_p,
+        inv_mass=spec.inv_mass.astype(dtype),
+        b0_packed=b0t, b1_packed=b1t, K=K,
+    )
+    return State(p=pn, v=vn, q=qn, w=wn)
+
+
 def _step_xla_twin(spec, states, cfg, ext_forces):
     """Differentiable XLA twin of `_fused_step_packed`: identical math
     (joints as equality lanes + box-bound contacts, cfm_always, the same
@@ -422,6 +602,8 @@ def _fused_step_diff(cfg: SimConfig):
     def step(spec, states, ext_forces):
         from eggshell_tpu.physics.contacts import make_contacts_batched
 
+        if _all_kernel_eligible(spec, states, cfg):
+            return _fused_step_all_kernel(spec, states, cfg, ext_forces)
         css = make_contacts_batched(spec, states, cfg)
         return _fused_step_packed(spec, states, cfg, css, ext_forces)
 
