@@ -84,7 +84,7 @@ def _bench_cfg():
 
     return SimConfig(
         solver=SolverKind.JACOBI_KERNEL,
-        solver_iters=22,
+        solver_iters=16,
         solver_tol=0.0,
         jacobi_omega=0.3,
         jacobi_beta=0.45,

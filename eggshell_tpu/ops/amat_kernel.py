@@ -37,7 +37,7 @@ ROWS_PER_SLAB = 4
 
 def _amat_kernel(
     jc_ref, b0_ref, b1_ref, act_ref, invm_ref, invig_ref,
-    a_ref,
+    a_ref, diag_ref,
     *, K, n, mp, cfm,
 ):
     # refs: jc (K*36, 8, 128); b0/b1/act (K, 8, 128); invm (n, 8, 128);
@@ -88,6 +88,11 @@ def _amat_kernel(
             X.append(lin + ang)
 
         # Columns: all contacts j, 3 cols each, then padding cols = 0.
+        # dacc accumulates this row's diagonal entry (col == row picks
+        # exactly one column) — emitted as a separate (mp,) output so
+        # the LCP kernel never gathers diag(A) from the 67 MB A array
+        # (the XLA-side jnp.take read ALL of A: ~92 us/step).
+        dacc = zero
         for j in range(K):
             b0j = b0_ref[j]
             b1j = b1_ref[j]
@@ -115,9 +120,17 @@ def _amat_kernel(
                     0.0,
                 )
                 val = jnp.where(pad_row, 0.0, val)
-                a_ref[:, rr * mp + col, :] = val + diag_fix
+                full = val + diag_fix
+                a_ref[:, rr * mp + col, :] = full
+                dacc = dacc + jnp.where(is_diag, full, 0.0)
         for col in range(3 * K, mp):
-            a_ref[:, rr * mp + col, :] = jnp.where(col == row, 1.0, 0.0) + zero
+            v = jnp.where(col == row, 1.0, 0.0) + zero
+            a_ref[:, rr * mp + col, :] = v
+            dacc = dacc + jnp.where(col == row, v, 0.0)
+        # diag block is the FULL (8, mp, 128) plane (a 4-row slab block
+        # would violate Mosaic's 8-divisible sublane rule), revisited
+        # across slabs; row = p*4 + rr is dynamic.
+        diag_ref[:, pl.ds(row, 1), :] = dacc[:, None, :]
 
 
 def _dyn1(ref, idx):
@@ -132,11 +145,13 @@ def contact_system_matrix_packed(
     """A in packed slab layout from packed compact J blocks.
 
     All inputs are (nt, rows, 8, 128) tiles (jassembly layout).  Returns
-    A_packed (nt, 8, mp*mp, 128) with mp = 3K rounded up to 8: entry
-    A[row, col] of scenario (t, sub, lane) at [t, sub, row*mp + col,
-    lane] — sublane-major so the packed LCP kernel can block one sublane
-    stripe per program (Mosaic requires the last two block dims to be
-    (8k, 128)-aligned or full)."""
+    (A_packed, diag_packed): A_packed (nt, 8, mp*mp, 128) with mp = 3K
+    rounded up to 8: entry A[row, col] of scenario (t, sub, lane) at
+    [t, sub, row*mp + col, lane] — sublane-major so the packed LCP
+    kernel can block one sublane stripe per program (Mosaic requires
+    the last two block dims to be (8k, 128)-aligned or full);
+    diag_packed (nt, 8, mp, 128) = diag(A), emitted here so downstream
+    never re-reads A to extract it."""
     nt = jc_packed.shape[0]
     dtype = jc_packed.dtype
     m = 3 * K
@@ -151,17 +166,27 @@ def contact_system_matrix_packed(
             memory_space=pltpu.VMEM,
         )
 
-    a = pl.pallas_call(
+    a, diag = pl.pallas_call(
         kernel,
         grid=(nt, nslabs),
         in_specs=[inspec(K * 36), inspec(K), inspec(K), inspec(K),
                   inspec(n), inspec(9 * n)],
-        out_specs=pl.BlockSpec(
-            (None, SUB, ROWS_PER_SLAB * mp, LANE),
-            lambda t, p: (t, 0, p, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (None, SUB, ROWS_PER_SLAB * mp, LANE),
+                lambda t, p: (t, 0, p, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, SUB, mp, LANE),
+                lambda t, p: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((nt, SUB, mp * mp, LANE), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, SUB, mp * mp, LANE), dtype),
+            jax.ShapeDtypeStruct((nt, SUB, mp, LANE), dtype),
+        ),
         interpret=interpret,
     )(jc_packed, b0_packed, b1_packed, act_packed, invm_packed, invig_packed)
-    return a
+    return a, diag

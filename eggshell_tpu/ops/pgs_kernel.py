@@ -384,17 +384,19 @@ def _jacobi_packed_stream_kernel(
 
 def _solve_lcp_jacobi_packed_stream(
     A_packed, rhs_s, act_s, eq_s, *, K, mp, mu, iters, omega, beta,
-    interpret,
+    interpret, diag_packed=None,
 ):
     nt = A_packed.shape[0]
     dtype = A_packed.dtype
     m3 = 3 * K
     rb = _stream_chunk_rows(mp)
     nchunks = mp // rb
-    # diag(A) per stripe, gathered XLA-side (one cheap gather vs
-    # extracting single rows in-kernel).
-    didx = jnp.arange(mp) * mp + jnp.arange(mp)
-    diag_s = jnp.take(A_packed, didx, axis=2)      # (nt, 8, mp, 128)
+    if diag_packed is not None:
+        diag_s = diag_packed
+    else:
+        # fallback: gather diag(A) XLA-side (reads all of A)
+        didx = jnp.arange(mp) * mp + jnp.arange(mp)
+        diag_s = jnp.take(A_packed, didx, axis=2)  # (nt, 8, mp, 128)
 
     kernel = functools.partial(
         _jacobi_packed_stream_kernel, K=K, mp=mp, mu=mu, iters=iters,
@@ -446,6 +448,7 @@ def solve_lcp_jacobi_packed(
     eq_packed: jax.Array = None,   # (nt, K, 8, 128): joint lanes
     block: bool = False,
     stream=None,
+    diag_packed: jax.Array = None,  # (nt, 8, mp, 128) from amat_kernel
 ) -> jax.Array:
     """Momentum projected-Jacobi on the PACKED tile pipeline (contact
     box-friction bounds built in-kernel from the active mask; eq lanes —
@@ -480,13 +483,17 @@ def solve_lcp_jacobi_packed(
         x = _solve_lcp_jacobi_packed_stream(
             A_packed, rhs_s, act_s, eq_s, K=K, mp=mp, mu=mu, iters=iters,
             omega=omega, beta=beta, interpret=interpret,
+            diag_packed=diag_packed,
         )
         return x.transpose(0, 2, 1, 3)
 
-    # diag(A) gathered XLA-side (the in-kernel extraction needed A as a
-    # value — see the kernel docstring's VMEM note)
-    didx = jnp.arange(mp) * mp + jnp.arange(mp)
-    diag_s = jnp.take(A_packed, didx, axis=2)      # (nt, 8, mp, 128)
+    if diag_packed is not None:
+        diag_s = diag_packed
+    else:
+        # fallback: gather diag(A) XLA-side (reads all of A — prefer
+        # passing the amat kernel's diag output)
+        didx = jnp.arange(mp) * mp + jnp.arange(mp)
+        diag_s = jnp.take(A_packed, didx, axis=2)  # (nt, 8, mp, 128)
 
     kernel = functools.partial(
         _jacobi_packed_kernel, K=K, mp=mp, mu=mu, iters=iters, omega=omega,

@@ -345,7 +345,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
     invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
     invm_packed, _, _, _ = _pack(invm, n)
 
-    A_packed = contact_system_matrix_packed(
+    A_packed, diag_packed = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
         invm_packed, invig_p, K=Kx, n=n,
         cfm=float(cfg.cfm_always), interpret=interpret,
@@ -355,7 +355,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces):
         mu=float(cfg.friction_bound), iters=cfg.solver_iters,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
         interpret=interpret, eq_packed=packed["eq"],
-        block=bool(cfg.jacobi_block),
+        block=bool(cfg.jacobi_block), diag_packed=diag_packed,
     )
     pn, qn, vn, wn = integrate_step(
         None, None, b0, b1, states.p, states.q, states.v,
@@ -524,7 +524,7 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces):
 
     invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
     invm_packed, _, _, _ = _pack(invm, n)
-    A_packed = contact_system_matrix_packed(
+    A_packed, diag_packed = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
         invm_packed, invig_p, K=K, n=n,
         cfm=float(cfg.cfm_always), interpret=interpret,
@@ -534,7 +534,7 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces):
         mu=float(cfg.friction_bound), iters=cfg.solver_iters,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
         interpret=interpret, eq_packed=packed["eq"],
-        block=bool(cfg.jacobi_block),
+        block=bool(cfg.jacobi_block), diag_packed=diag_packed,
     )
     pn, qn, vn, wn = integrate_step(
         None, None, None, None, states.p, states.q, states.v,

@@ -24,9 +24,13 @@ from eggshell_tpu.physics.contacts import count_dropped_contacts
 from eggshell_tpu.physics.stepper import step_ode
 from eggshell_tpu.utils.config import SimConfig, SolverKind
 
-# Must match bench.py exactly (keep in sync).
+# Must match bench.py exactly (keep in sync).  Round-4 sweep-count
+# sensitivity scan: 22 -> 16 sweeps moves the DIRECT/f64-oracle
+# trajectory error from 2.0e-5 to 2.9e-5 on the 120-step stack (1.4e-4
+# -> 1.8e-4 on stack8; 7e-7 -> 6e-6 on the 600-step cairn) — all >= 5x
+# inside the 1e-3 bound, re-gated below.
 BENCH_SOLVER = dict(
-    solver_iters=22,
+    solver_iters=16,
     solver_tol=0.0,
     jacobi_omega=0.3,
     jacobi_beta=0.45,

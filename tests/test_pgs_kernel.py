@@ -223,7 +223,7 @@ def test_amat_kernel_matches_xla_system_matrix():
     invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
     invm_p, _, _, _ = _pack(invm, n)
     invig_p, _, _, _ = _pack(inv_ig.reshape(B, 9 * n), 9 * n)
-    Ap = contact_system_matrix_packed(
+    Ap, _diag = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
         invm_p, invig_p, K=K, n=n, cfm=float(cfg.cfm_always),
         interpret=True,
@@ -410,7 +410,7 @@ def test_packed_stream_mode_matches_resident_kernel():
     invm = jnp.broadcast_to(spec.inv_mass.astype(dtype), (B, n))
     invm_p, _, _, _ = _pack(invm, n)
     invig_p, _, _, _ = _pack(Minv[:, :, 3:, 3:].reshape(B, 9 * n), 9 * n)
-    Ap = contact_system_matrix_packed(
+    Ap, _diag = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
         invm_p, invig_p, K=K, n=n, cfm=float(cfg.cfm_always),
         interpret=True,
