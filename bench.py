@@ -357,8 +357,12 @@ def tpu_oracle_gate(dtype=jnp.float32):
     cfg = _bench_cfg()
     gate = {"bound": 1e-3, "checkpoints": {}}
     err_p = err_v = 0.0
+    prev_ck = 0
     for ck in [int(s) for s in ref["steps"]]:
-        states = rollout_batched(spec, states, cfg, 30)
+        # segment length derived from consecutive checkpoint deltas so a
+        # regenerated oracle with different spacing stays in sync
+        states = rollout_batched(spec, states, cfg, ck - prev_ck)
+        prev_ck = ck
         ep = float(
             np.abs(np.asarray(states.p[0], float) - ref[f"p{ck}"]).max()
         )

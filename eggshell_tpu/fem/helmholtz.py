@@ -260,6 +260,12 @@ class DrivenPlan:
     point_source_node: int       # -1 if none
     use_sparse: bool
     structure: sparselib.SparseStructure
+    # "bicgstab": solve on-device with Jacobi-preconditioned BiCGStab
+    # instead of the host SuperLU callback (use_sparse must be True)
+    iterative: bool = False
+    # "bcr": on-device block-tridiagonal cyclic-reduction direct solve
+    # (fem/block_tridiag.py) — banded/RCM-reordered meshes, MXU batched
+    bcr_structure: Optional[object] = None
 
     @property
     def num_ports(self) -> int:
@@ -445,7 +451,12 @@ def plan_driven(
     if solver == "auto":
         use_sparse = N > DENSE_MAX_N
     else:
-        use_sparse = solver == "sparse"
+        use_sparse = solver in ("sparse", "bicgstab", "bcr")
+    bcr_structure = None
+    if solver == "bcr":
+        from eggshell_tpu.fem.block_tridiag import BlockTridiagStructure
+
+        bcr_structure = BlockTridiagStructure.auto(rows, cols, N)
 
     return DrivenPlan(
         config=config, N=N, triangles=tri, rows=rows, cols=cols,
@@ -456,6 +467,8 @@ def plan_driven(
         dirichlet_mask=dmask, dirichlet_values=dvals,
         point_source_node=node, use_sparse=use_sparse,
         structure=sparselib.SparseStructure(rows, cols, N),
+        iterative=solver == "bicgstab",
+        bcr_structure=bcr_structure,
     )
 
 
@@ -718,9 +731,18 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
         rhs = jnp.where(dmask, g, rhs)
 
     if plan.use_sparse:
-        u = sparselib.sparse_solve_structured(
-            vals, rhs, plan.structure, symmetric=True
-        )
+        if plan.bcr_structure is not None:
+            from eggshell_tpu.fem.block_tridiag import block_tridiag_solve
+
+            u = block_tridiag_solve(vals, rhs, plan.bcr_structure)
+        elif plan.iterative:
+            u = sparselib.bicgstab_solve_structured(
+                vals, rhs, plan.structure
+            )
+        else:
+            u = sparselib.sparse_solve_structured(
+                vals, rhs, plan.structure, symmetric=True
+            )
     else:
         A = sparselib.coo_to_dense(
             jnp.asarray(plan.rows), jnp.asarray(plan.cols), vals, N

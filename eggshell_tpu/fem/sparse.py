@@ -145,6 +145,40 @@ def sparse_solve_structured(vals, b, structure: SparseStructure,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("structure", "tol", "maxiter")
+)
+def bicgstab_solve_structured(vals, b, structure: SparseStructure,
+                              tol: float = 1e-8, maxiter: int = 2000):
+    """Fully on-device driven solve: Jacobi-preconditioned BiCGStab on
+    the COO matvec, wrapped in `lax.custom_linear_solve` so forward and
+    reverse derivatives re-use iterative solves of the same (symmetric)
+    system — the no-host-callback counterpart of
+    `sparse_solve_structured` (ref factor+solve,
+    toolkit/femsolver.h:134-135; our matrices are complex symmetric, so
+    the transpose solve is the same solve)."""
+    rows_j = jnp.asarray(structure.rows)
+    cols_j = jnp.asarray(structure.cols)
+    n = structure.num_rows
+    diag = jax.ops.segment_sum(
+        jnp.where(rows_j == cols_j, vals, 0.0), rows_j, num_segments=n
+    )
+    diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+
+    def matvec(x):
+        return coo_matvec(rows_j, cols_j, vals, x, n)
+
+    def solve(mv, rhs):
+        x, _ = jax.scipy.sparse.linalg.bicgstab(
+            mv, rhs, M=lambda y: y / diag, tol=tol, maxiter=maxiter
+        )
+        return x
+
+    return jax.lax.custom_linear_solve(
+        matvec, b, solve, transpose_solve=solve, symmetric=True
+    )
+
+
 def bicgstab_solve(rows, cols, vals, b, num_rows: int, tol=1e-8,
                    maxiter=2000):
     """Fully on-device iterative solve (Jacobi-preconditioned BiCGStab)
@@ -223,7 +257,7 @@ def lobpcg_generalized(rows, cols, kvals, mvals, num_rows: int,
     # blowup; sigma is scaled to sit well below the first nonzero
     # eigenvalue estimate (diag ratio ~ the matrix's spectral scale).
     sigma_pc = 1e-4 * jnp.max(jnp.abs(diagK)) / jnp.maximum(
-        jnp.max(jnp.abs(diagM)), 1e-300
+        jnp.max(jnp.abs(diagM)), jnp.finfo(jnp.asarray(diagM).dtype).tiny
     )
     Amm = lambda X: Kmm(X) + sigma_pc * Mmm(X)
     diagA = diagK + sigma_pc * diagM

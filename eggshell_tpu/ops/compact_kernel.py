@@ -247,7 +247,10 @@ def _finalize(refs, K, eps2, dtype):
             jnp.max(hit.reshape(K, SUB, LANE), axis=0).astype(dtype)
         )
     a.act = act0 * (1.0 - jnp.concatenate(drops, axis=0))
-    filled = a.act > 0.5
+    # -1 body ids only on NEVER-FILLED lanes: dedupe-dropped lanes keep
+    # their real ids with active cleared, matching the XLA convention
+    # (contacts._dedupe clears only `active`) lane-for-lane.
+    filled = act0 > 0.5
     a.b0 = jnp.where(filled, a.b0, -1.0)
     a.b1 = jnp.where(filled, a.b1, -1.0)
     a.store(K)

@@ -67,7 +67,7 @@ def _masked_solve(A, rhs, S):
 @functools.partial(
     jax.jit, static_argnames=("max_iterations", "return_info")
 )
-def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256,
+def murty_principal_pivot(A, b, lo, hi, max_iterations: int = None,
                           return_info: bool = False):
     """Box-LCP principal pivoting (semantics of eggshell/lcp.cc:157-274).
 
@@ -77,10 +77,15 @@ def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256,
     by "goodness" and returns it on non-convergence (the reference's
     fallback, lcp.cc:107-137, 233-268) instead of the last iterate.
 
+    `max_iterations=None` (default) uses the reference's pivot budget
+    min(2^n, 1000) (eggshell/lcp.cc:168) — n is static under jit.
+
     Returns (x, w, converged); with return_info=True the third element
     is an `LcpInfo` (converged, iterations, goodness, fallback_used).
     """
     n = b.shape[0]
+    if max_iterations is None:
+        max_iterations = min(2 ** min(n, 10), 1000)
     dtype = A.dtype
 
     def compute_xw(S, side):
@@ -164,7 +169,7 @@ def murty_principal_pivot(A, b, lo, hi, max_iterations: int = 256,
 @functools.partial(
     jax.jit, static_argnames=("max_iterations", "return_info")
 )
-def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = 256,
+def mixed_constraints_solver(A, b, is_eq, lo, hi, max_iterations: int = None,
                              return_info: bool = False):
     """Masked Schur-complement mixed solver (semantics of
     eggshell/lcp.cc:276-336) with fixed shapes.

@@ -479,7 +479,18 @@ def solve_lcp_jacobi_packed(
         stream = mp * mp * LANES_PACKED * 4 * 2 > _VMEM_A_BUDGET
     if stream:
         # Streamed path is scalar/heavy-ball only; block-Jacobi needs
-        # the resident tile for its 3x3 inverse precompute.
+        # the resident tile for its 3x3 inverse precompute.  Refuse
+        # rather than silently run a different sweep rule than the
+        # differentiable XLA twin (jacobi_block configs must either
+        # lower contact capacity below the stream threshold or use
+        # block=False).
+        if block:
+            raise ValueError(
+                "solve_lcp_jacobi_packed: block-Jacobi (jacobi_block=True)"
+                " is not available on the streamed-A path (contact"
+                f" capacity {mp // 3} exceeds the resident VMEM budget)."
+                " Use jacobi_block=False or reduce contact_capacity."
+            )
         x = _solve_lcp_jacobi_packed_stream(
             A_packed, rhs_s, act_s, eq_s, K=K, mp=mp, mu=mu, iters=iters,
             omega=omega, beta=beta, interpret=interpret,

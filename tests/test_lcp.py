@@ -260,6 +260,44 @@ def test_murty_fallback_best_so_far():
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x))
 
 
+def test_murty_default_cap_reference_parity():
+    """Default pivot budget = min(2^n, 1000) (ref eggshell/lcp.cc:168).
+
+    Murty's exponential family M = I + 2 triu(1), b = 1 needs ~2^(n-1.5)
+    pivots under the least-index rule this solver shares with the
+    reference (measured: 342 pivots at n=10, 683 at n=11, 1366 at n=12)
+    — the old fixed 256 cap gave up on n=10 while the reference oracle
+    converged; the reference-parity default must solve it."""
+    def murty_family(n):
+        M = np.eye(n) + 2 * np.triu(np.ones((n, n)), 1)
+        return (jnp.asarray(M), jnp.asarray(np.ones(n)),
+                jnp.zeros(n), jnp.full(n, np.inf))
+
+    A, b, lo, hi = murty_family(10)
+    x, w, info = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, return_info=True
+    )
+    assert bool(info.converged)
+    assert int(info.iterations) > 256      # the old cap would have failed
+    assert float(info.goodness) == 0.0
+
+    # old cap reproduces the pre-fix failure (regression guard)
+    _, _, info256 = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, max_iterations=256, return_info=True
+    )
+    assert not bool(info256.converged)
+
+    # n = 12 needs 1366 pivots > the 1000 cap: the default must stop at
+    # the reference's budget and flag the fallback, exactly like the
+    # oracle it is certified against.
+    A, b, lo, hi = murty_family(12)
+    _, _, info12 = lcp_direct.murty_principal_pivot(
+        A, b, lo, hi, return_info=True
+    )
+    assert not bool(info12.converged)
+    assert int(info12.iterations) == 1000
+
+
 def test_mixed_solver_info_passthrough():
     rng = np.random.default_rng(12)
     n = 20
