@@ -51,7 +51,7 @@ import numpy as np
 # Artifact merge key: entries from a previous BENCH_CONFIGS.json are
 # carried over only when they came from the same bench revision (bump
 # when a config's definition changes so stale numbers can't survive).
-BENCH_REV = 4
+BENCH_REV = 5
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _ARTIFACT = os.path.join(_HERE, "BENCH_CONFIGS.json")
@@ -281,7 +281,7 @@ def bench_configs(dtype=jnp.float32, B=4096, H=50, on_config=None):
         # has ~1400 overlapping pairs / >2k contact lanes; truncation is
         # counted by count_dropped_contacts and gated in
         # tests/test_matrix_free_step.py::test_box_pile216_settles)
-        for nb, bl, cap, pc in ((216, 8, 4096, 2048), (512, 2, 8192, 4096)):
+        for nb, bl, cap, pc in ((216, 8, 4096, 2048), (512, 4, 8192, 4096)):
             spec, st = scenes.box_pile(nb, dtype=dtype)
             cfg = base.replace(
                 solver=SolverKind.MATRIX_FREE,
@@ -333,6 +333,16 @@ def bench_configs(dtype=jnp.float32, B=4096, H=50, on_config=None):
         *scenes.box_stack(12, dtype=dtype),
         base.replace(contact_capacity=48), b=B,
     ))
+
+    # 10-13. FEM / FDTD tier (round-5: the second engine's perf
+    # artifact — bench_fem.py; each entry asserts its own parity gate
+    # and names the correctness tests that gate its physics).
+    import bench_fem
+
+    run("fem_driven", bench_fem.fem_driven)
+    run("fem_sweep", bench_fem.fem_sweep)
+    run("fem_modes", bench_fem.fem_modes)
+    run("fdtd", bench_fem.fdtd)
     return out
 
 

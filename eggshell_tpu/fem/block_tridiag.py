@@ -159,7 +159,16 @@ def _pad_blocks(D, L, U, f):
 
 def _bcr_solve_padded(D, L, U, f, m):
     """Cyclic reduction on 2^m - 1 blocks.  f is (nbp, b, k) (k right-
-    hand sides).  Returns x (nbp, b, k)."""
+    hand sides).  Returns x (nbp, b, k).
+
+    All matmuls/solves run at HIGHEST precision: the TPU default lowers
+    f32 dots to bf16 passes, which destroys a direct solve (measured:
+    |S21| off by O(1) on a 56k-node Helmholtz system)."""
+    with jax.default_matmul_precision("highest"):
+        return _bcr_solve_padded_inner(D, L, U, f, m)
+
+
+def _bcr_solve_padded_inner(D, L, U, f, m):
     # Reduction: at each level, eliminate the odd-position blocks.
     # Store the per-level odd-block data needed for back-substitution.
     levels = []
@@ -211,12 +220,17 @@ def block_tridiag_solve_bands(D, L, U, rhs):
 
 
 @functools.partial(jax.jit, static_argnames=("structure",))
-def block_tridiag_solve(vals, rhs, structure: BlockTridiagStructure):
+def block_tridiag_solve(vals, rhs, structure: BlockTridiagStructure,
+                        vals_transpose=None):
     """Solve A x = rhs with A given as COO triplets on a banded
     ordering — fully on-device, differentiable via
     `lax.custom_linear_solve` (tangents/cotangents re-use BCR solves of
-    the same symmetric system; our FEM matrices are complex symmetric).
-    Pads the trailing partial block with unit diagonal entries."""
+    the same system; our FEM matrices are complex symmetric, so the
+    default transpose solve is the forward solve).  For NON-symmetric
+    systems pass `vals_transpose` (the values of A^T on the same
+    sparsity pattern as seen through `structure`'s scatter) and the
+    transpose solve runs BCR on those bands instead.  Pads the trailing
+    partial block with unit diagonal entries."""
     nb, b = structure.num_blocks, structure.block_size
     n = structure.num_rows
     npad = nb * b
@@ -230,28 +244,109 @@ def block_tridiag_solve(vals, rhs, structure: BlockTridiagStructure):
         y = y.at[:-1].add(bands[2][:-1] @ xp[1:])
         return y.reshape(npad)[:n]
 
-    bands = bands_from_coo(vals, structure)
-    # unit diagonal on padded rows of the last partial block so the
-    # padded system is nonsingular
-    if npad > n:
-        pad_idx = jnp.arange(n, npad)
-        bl = pad_idx // b
-        rl = pad_idx - bl * b
-        bands = bands.at[0, bl, rl, rl].add(1.0)
+    def padded_bands(v):
+        bands = bands_from_coo(v, structure)
+        # unit diagonal on padded rows of the last partial block so the
+        # padded system is nonsingular
+        if npad > n:
+            pad_idx = jnp.arange(n, npad)
+            bl = pad_idx // b
+            rl = pad_idx - bl * b
+            bands = bands.at[0, bl, rl, rl].add(1.0)
+        return bands
 
-    def solve(_mv, rhs_):
-        rp = jnp.zeros((npad,), rhs_.dtype).at[:n].set(rhs_)
-        D, L, U = bands[0], bands[1], bands[2]
-        x = block_tridiag_solve_bands(D, L, U, rp)
-        return x[:n]
+    bands = padded_bands(vals)
+
+    def solve_with(bands_):
+        def solve(_mv, rhs_):
+            rp = jnp.zeros((npad,), rhs_.dtype).at[:n].set(rhs_)
+            x = block_tridiag_solve_bands(
+                bands_[0], bands_[1], bands_[2], rp
+            )
+            return x[:n]
+
+        return solve
+
+    solve = solve_with(bands)
+    if vals_transpose is None:
+        solve_t = solve
+        symmetric = True
+    else:
+        solve_t = solve_with(padded_bands(vals_transpose))
+        symmetric = False
 
     matvec = functools.partial(matvec_bands, bands)
     if structure.order is None:
         return jax.lax.custom_linear_solve(
-            matvec, rhs, solve, transpose_solve=solve, symmetric=True,
+            matvec, rhs, solve, transpose_solve=solve_t,
+            symmetric=symmetric,
         )
     y = jax.lax.custom_linear_solve(
-        matvec, rhs[structure.order], solve, transpose_solve=solve,
-        symmetric=True,
+        matvec, rhs[structure.order], solve, transpose_solve=solve_t,
+        symmetric=symmetric,
     )
     return y[structure.pos]
+
+
+class ComplexBandedSystem:
+    """Solve a COMPLEX symmetric banded system on devices without any
+    complex-dtype support (the axon TPU tunnel rejects complex64 even
+    elementwise): interleave node i into real rows (2i, 2i+1) and embed
+    every entry v as the 2x2 real block [[vr, -vi], [vi, vr]] — the
+    bandedness survives (bw_real = 2 bw_c + 1), and the whole BCR solve
+    runs in f32/f64.  The embedding of a complex-SYMMETRIC matrix is
+    real-nonsymmetric; transpose solves use the conjugate embedding.
+
+    Host-side static plan; `solve(vr, vi, br, bi) -> (xr, xi)` is
+    jit-able and differentiable in all four real inputs."""
+
+    def __init__(self, rows, cols, num_rows: int):
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        n = int(num_rows)
+        # RCM on the COMPLEX graph, then expand — keeps each node's
+        # (re, im) rows adjacent by construction
+        A = sp.csr_matrix(
+            (np.ones(len(rows)), (rows, cols)), shape=(n, n)
+        )
+        order_c = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+        pos_c = np.empty(n, np.int64)
+        pos_c[order_c] = np.arange(n)
+        bw_rcm = int(np.max(np.abs(pos_c[rows] - pos_c[cols])))
+        bw_native = int(np.max(np.abs(rows - cols)))
+        use_rcm = bw_rcm < bw_native
+
+        r2 = np.stack(
+            [2 * rows, 2 * rows, 2 * rows + 1, 2 * rows + 1], 1
+        ).reshape(-1)
+        c2 = np.stack(
+            [2 * cols, 2 * cols + 1, 2 * cols, 2 * cols + 1], 1
+        ).reshape(-1)
+        if use_rcm:
+            order2 = np.stack([2 * order_c, 2 * order_c + 1], 1).reshape(-1)
+            bw2 = 2 * bw_rcm + 1
+        else:
+            order2 = None
+            bw2 = 2 * bw_native + 1
+        self.structure = BlockTridiagStructure(
+            r2, c2, 2 * n, max(bw2, 1), order=order2
+        )
+        self.num_rows = n
+
+    def embed_vals(self, vr, vi):
+        return jnp.stack([vr, -vi, vi, vr], axis=-1).reshape(-1)
+
+    def embed_vals_t(self, vr, vi):
+        return jnp.stack([vr, vi, -vi, vr], axis=-1).reshape(-1)
+
+    def solve(self, vr, vi, br, bi):
+        v4 = self.embed_vals(vr, vi)
+        v4t = self.embed_vals_t(vr, vi)
+        rhs2 = jnp.stack([br, bi], axis=-1).reshape(-1)
+        x2 = block_tridiag_solve(
+            v4, rhs2, self.structure, vals_transpose=v4t
+        )
+        return x2[0::2], x2[1::2]

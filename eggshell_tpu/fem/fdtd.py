@@ -112,19 +112,24 @@ def simulate_2d(
 
 def _fdtd_kernel(ez_ref, hx_ref, hy_ref, inv_eps_ref, pecf_ref,
                  ezo_ref, hxo_ref, hyo_ref, *, c):
+    # All updates are expressed as shifted-slice CONCATENATIONS, not
+    # .at[].add masked scatters: Mosaic has no scatter-add lowering, so
+    # the scatter form compiled only in interpret mode (latent TPU
+    # failure found by the round-5 hardware bench).
     ez = ez_ref[:]
     # H half-step (padded H grids: same shape as ez; rims unused)
     hx = hx_ref[:]
     hy = hy_ref[:]
+    zc = jnp.zeros_like(ez[:, :1])       # zero column
+    zr = jnp.zeros_like(ez[:1, :])       # zero row
     dzy = ez[:, 1:] - ez[:, :-1]
-    hx = hx.at[:, :-1].add(-c * dzy)
+    hx = hx - c * jnp.concatenate([dzy, zc], axis=1)
     dzx = ez[1:, :] - ez[:-1, :]
-    hy = hy.at[:-1, :].add(c * dzx)
+    hy = hy + c * jnp.concatenate([dzx, zr], axis=0)
 
-    curl = jnp.zeros_like(ez)
-    curl = curl.at[1:-1, :].add(hy[1:-1, :] - hy[:-2, :])
-    curl = curl.at[:, 1:-1].add(-(hx[:, 1:-1] - hx[:, :-2]))
-    ez = ez + c * inv_eps_ref[:] * curl
+    curl_x = jnp.concatenate([zr, hy[1:-1, :] - hy[:-2, :], zr], axis=0)
+    curl_y = jnp.concatenate([zc, hx[:, 1:-1] - hx[:, :-2], zc], axis=1)
+    ez = ez + c * inv_eps_ref[:] * (curl_x - curl_y)
     ez = ez * pecf_ref[:]  # 0 on PEC / rim, 1 elsewhere
     ezo_ref[:] = ez
     hxo_ref[:] = hx

@@ -577,9 +577,14 @@ def _port_quantities(pp: PortPlan, pts, eps_tri, Wxx, Wyy, Wxy, k2_eff,
 
 
 def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
-                      plan: DrivenPlan, return_flux: bool = False):
+                      plan: DrivenPlan, return_flux: bool = False,
+                      solve_override=None):
     """Assemble + solve + project S-parameters.  Pure jnp function of the
     traced inputs; static structure from `plan`.
+
+    `solve_override(vals, rhs) -> u` replaces the configured linear
+    solve (used by the hybrid CPU-assembly + TPU-BCR bench path on
+    accelerators without complex-dtype support).
 
     Returns (u (N,) complex, s (num_ports, num_modes) complex); with
     `return_flux` also the per-port-mode power-flux weights
@@ -730,7 +735,9 @@ def solve_driven_core(pts, eps_tri, sxx, syy, sxy, exc_tri, k0,
         )
         rhs = jnp.where(dmask, g, rhs)
 
-    if plan.use_sparse:
+    if solve_override is not None:
+        u = solve_override(vals, rhs)
+    elif plan.use_sparse:
         if plan.bcr_structure is not None:
             from eggshell_tpu.fem.block_tridiag import block_tridiag_solve
 

@@ -105,7 +105,7 @@ def jmjt_diagonal(blocks, b0, b1, Minv, cfm: float = 0.0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "omega", "beta", "cfm"),
+    static_argnames=("iters", "omega", "beta", "cfm", "matvec_mode"),
 )
 def solve_lcp_matrix_free(
     blocks, b0, b1, Minv, rhs, is_eq, lo, hi,
@@ -114,23 +114,63 @@ def solve_lcp_matrix_free(
     beta: float = 0.0,
     cfm: float = 0.0,
     x0: Optional[jax.Array] = None,
+    matvec_mode: str = "auto",
 ):
     """Under-relaxed (heavy-ball) projected Jacobi on the matrix-free
     operator — identical update rule to ops/lcp.solve_lcp(method=
     "jacobi") but with O(K) memory: the matvec never forms JMJ^T
     (ref matrix-free BaseIteration, sparse_iterations.cc:148-226).
 
+    matvec_mode:
+      "segment"  per-iteration segment-sum scatter-add (exact, but
+                 scatter-bound on TPU: ~0.6 ms/sweep at pile512 shapes)
+      "onehot"   incidence MATMULS: the per-solve-constant one-hot
+                 body-incidence matrices O0/O1 (n, K) turn both the
+                 scatter (J^T accumulate) and the gather (J apply) into
+                 MXU matmuls — the TPU answer to the reference's
+                 per-constraint loops (sparse_iterations_utils.cc
+                 :624-695); ~6x faster at pile512 shapes
+      "auto"     "onehot" when n * K is large enough for the MXU to
+                 win, else "segment"
+
     Intended for one LARGE scene (hundreds of bodies/contacts); for
     thousands of small batched QPs the dense kernels win."""
     diag = jmjt_diagonal(blocks, b0, b1, Minv, cfm)
     diag = jnp.where(diag > 0, diag, 1.0)
+    K = blocks.shape[0]
+    n = Minv.shape[0]
+    if matvec_mode == "auto":
+        matvec_mode = "onehot" if n * K >= (1 << 18) else "segment"
+
+    if matvec_mode == "onehot":
+        dtype = blocks.dtype
+        body_ids = jnp.arange(n, dtype=jnp.int32)
+        O0 = (b0[None, :] == body_ids[:, None]).astype(dtype)  # (n, K)
+        O1 = (b1[None, :] == body_ids[:, None]).astype(dtype)
+        blk0 = blocks[:, :, 0:6]
+        blk1 = blocks[:, :, 6:12]
+
+        def matvec(x):
+            xl = x.reshape(K, 3)
+            c0 = jnp.einsum("krc,kr->kc", blk0, xl)     # (K, 6)
+            c1 = jnp.einsum("krc,kr->kc", blk1, xl)
+            y = O0 @ c0 + O1 @ c1                       # (n, 6) MXU
+            y = jnp.einsum("nij,nj->ni", Minv, y)
+            v0 = O0.T @ y                               # (K, 6) MXU
+            v1 = O1.T @ y
+            r0 = jnp.einsum("krc,kc->kr", blk0, v0)
+            r1 = jnp.einsum("krc,kc->kr", blk1, v1)
+            return (r0 + r1).reshape(-1) + cfm * x
+    else:
+        def matvec(x):
+            return jmjt_matvec(blocks, b0, b1, Minv, x, cfm)
 
     def project(x):
         return jnp.where(is_eq, x, jnp.clip(x, lo, hi))
 
     def sweep(carry):
         x, xp = carry
-        ax = jmjt_matvec(blocks, b0, b1, Minv, x, cfm)
+        ax = matvec(x)
         r = rhs - ax + diag * x
         xn = project(
             (1.0 - omega) * x + omega * (r / diag) + beta * (x - xp)

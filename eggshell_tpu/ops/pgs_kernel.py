@@ -162,7 +162,8 @@ def _block_jacobi_kernel(A_ref, b_ref, diag_ref, eq_ref, lo_ref, hi_ref,
 
 
 def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, diag_ref, x_ref,
-                          *, K, mp, mu, iters, omega, beta, block=False):
+                          *, K, mp, mu, iters, omega, beta, block=False,
+                          pyramid_mu=0.0):
     # Blocks for ONE sublane stripe (128 scenarios); leading (nt, sub)
     # dims are squeezed: a (mp*mp, L), b (3K, L), act/eq (K, L),
     # diag (mp, L); out (mp, L).  eq lanes (ball joints) are unclamped
@@ -196,11 +197,16 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, diag_ref, x_ref,
     eq3 = jnp.broadcast_to(eq[:, None, :], (K, 3, L)).reshape(m3, L)
     compi = jax.lax.broadcasted_iota(jnp.int32, (m3, L), 0)
     tangential = jnp.where(compi % 3 < 2, 1.0, 0.0).astype(b.dtype)
+    # static bounds; under pyramid friction the tangent bounds are
+    # dynamic (+-mu lambda_n in-sweep) and the static placeholders pin
+    # tangents to 0, matching build_constraints' COULOMB_PYRAMID rows
+    # (used for the warm-start projection only).
+    mu_s = 0.0 if pyramid_mu > 0.0 else mu
     lo3 = jnp.where(
-        eq3 > 0.5, -3.4e38, jnp.where(tangential > 0.5, -mu, 0.0)
+        eq3 > 0.5, -3.4e38, jnp.where(tangential > 0.5, -mu_s, 0.0)
     ).astype(b.dtype)
     hi3 = jnp.where(
-        (eq3 > 0.5) | (tangential < 0.5), 3.4e38, mu
+        (eq3 > 0.5) | (tangential < 0.5), 3.4e38, mu_s
     ).astype(b.dtype)
     lo = padded(lo3)
     hi = padded(hi3)
@@ -208,7 +214,41 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, diag_ref, x_ref,
     diag = diag_ref[:]
     inv_diag = 1.0 / diag
 
-    def proj(x):
+    if pyramid_mu > 0.0:
+        # Coulomb-pyramid bounds: tangent rows clamp to +-mu * lambda_n
+        # of THEIR OWN contact, recomputed from the pre-sweep iterate
+        # each sweep — identical to the XLA twin's coupled `_bounds`
+        # (ops/lcp.py; the model the reference declares but leaves
+        # unimplemented, eggshell/contact.cc:150-152).
+        def proj_of(xc):
+            x3 = xc[:m3].reshape(K, 3, L)
+            ncap = jnp.maximum(x3[:, 2, :], 0.0) * pyramid_mu    # (K, L)
+            ncap3 = jnp.broadcast_to(
+                ncap[:, None, :], (K, 3, L)
+            ).reshape(m3, L)
+            lo_d = padded(jnp.where(
+                eq3 > 0.5, -3.4e38,
+                jnp.where(tangential > 0.5, -ncap3, 0.0),
+            ).astype(b.dtype))
+            hi_d = padded(jnp.where(
+                eq3 > 0.5, 3.4e38,
+                jnp.where(tangential > 0.5, ncap3, 3.4e38),
+            ).astype(b.dtype))
+
+            def proj(x):
+                return jnp.where(
+                    active > 0.5, jnp.clip(x, lo_d, hi_d), x
+                )
+
+            return proj
+    else:
+        def proj_of(xc):
+            def proj(x):
+                return jnp.where(active > 0.5, jnp.clip(x, lo, hi), x)
+
+            return proj
+
+    def proj_static(x):
         return jnp.where(active > 0.5, jnp.clip(x, lo, hi), x)
 
     nb = mp // _ROW_BLOCK
@@ -270,18 +310,22 @@ def _jacobi_packed_kernel(a_ref, b_ref, act_ref, eq_ref, diag_ref, x_ref,
             )
             tail = x[m3:] + rv[m3:] * inv_diag[m3:]
             xn = jnp.concatenate([y, tail], axis=0)
-            xn = proj((1.0 - omega) * x + omega * xn + beta * (x - xp))
+            # bounds from the PRE-sweep iterate (pyramid: +-mu lambda_n
+            # of the carry), matching the XLA twin's _bounds placement
+            xn = proj_of(x)(
+                (1.0 - omega) * x + omega * xn + beta * (x - xp)
+            )
             return (xn, x)
     else:
         def sweep(_, carry):
             x, xp = carry
             r = b - ax_of(x) + diag * x
-            xn = proj(
+            xn = proj_of(x)(
                 (1.0 - omega) * x + omega * r * inv_diag + beta * (x - xp)
             )
             return (xn, x)
 
-    x0 = proj(b)
+    x0 = proj_static(b)
     x, _ = jax.lax.fori_loop(0, iters, sweep, (x0, x0))
     x_ref[:] = x
 
@@ -433,7 +477,7 @@ def _solve_lcp_jacobi_packed_stream(
 @functools.partial(
     jax.jit,
     static_argnames=("K", "mu", "iters", "omega", "beta", "interpret",
-                     "block", "stream"),
+                     "block", "stream", "pyramid_mu"),
 )
 def solve_lcp_jacobi_packed(
     A_packed: jax.Array,     # (nt, 8, mp*mp, 128) from ops/amat_kernel
@@ -449,6 +493,7 @@ def solve_lcp_jacobi_packed(
     block: bool = False,
     stream=None,
     diag_packed: jax.Array = None,  # (nt, 8, mp, 128) from amat_kernel
+    pyramid_mu: float = 0.0,        # > 0: Coulomb-pyramid tangent caps
 ) -> jax.Array:
     """Momentum projected-Jacobi on the PACKED tile pipeline (contact
     box-friction bounds built in-kernel from the active mask; eq lanes —
@@ -491,6 +536,12 @@ def solve_lcp_jacobi_packed(
                 f" capacity {mp // 3} exceeds the resident VMEM budget)."
                 " Use jacobi_block=False or reduce contact_capacity."
             )
+        if pyramid_mu > 0.0:
+            raise ValueError(
+                "solve_lcp_jacobi_packed: COULOMB_PYRAMID bounds are not"
+                " available on the streamed-A path yet — reduce"
+                " contact_capacity below the stream threshold."
+            )
         x = _solve_lcp_jacobi_packed_stream(
             A_packed, rhs_s, act_s, eq_s, K=K, mp=mp, mu=mu, iters=iters,
             omega=omega, beta=beta, interpret=interpret,
@@ -508,7 +559,7 @@ def solve_lcp_jacobi_packed(
 
     kernel = functools.partial(
         _jacobi_packed_kernel, K=K, mp=mp, mu=mu, iters=iters, omega=omega,
-        beta=beta, block=block,
+        beta=beta, block=block, pyramid_mu=pyramid_mu,
     )
 
     def spec(c):

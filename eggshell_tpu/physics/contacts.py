@@ -127,6 +127,25 @@ def make_contacts(spec: SceneSpec, state: State, cfg: SimConfig,
     K = cfg.contact_capacity
     b0, b1, pos, nrm, dep, act = _candidates(spec, state, cfg, pair_out,
                                              pair_idx)
+    C = act.shape[0]
+
+    if K * C > (1 << 23):
+        # Large-scene tier (piles: K ~ thousands, C ~ tens of
+        # thousands): the (K, C) one-hot matmul is tens of GFLOPs per
+        # scene; rank-score top_k + an 8-column gather is ~100x less
+        # work and keeps the same stable original order.
+        score = jnp.where(act, C - jnp.arange(C, dtype=jnp.int32), 0)
+        v, order = jax.lax.top_k(score, K)
+        active = v > 0
+        cs = ContactSet(
+            b0=jnp.where(active, b0[order], -1),
+            b1=jnp.where(active, b1[order], -1),
+            position=jnp.where(active[:, None], pos[order], 0.0),
+            normal=jnp.where(active[:, None], nrm[order], 0.0),
+            depth=jnp.where(active, dep[order], 0.0),
+            active=active,
+        )
+        return _dedupe(spec, state, cs, cfg)
 
     # Stable compaction via a one-hot selection matmul: active candidate
     # number o lands in lane o (original order preserved).  Equivalent to
@@ -189,16 +208,41 @@ def _dedupe(spec: SceneSpec, state: State, cs: ContactSet, cfg: SimConfig):
     body_pair_ok = lo_b >= 0
 
     # Contact-contact: same pair, close, earlier index.
-    d2 = jnp.sum(
-        (cs.position[:, None, :] - cs.position[None, :, :]) ** 2, axis=-1
-    )
-    same_pair = (lo_b[:, None] == lo_b[None, :]) & (hi_b[:, None] == hi_b[None, :])
-    both_ok = body_pair_ok[:, None] & body_pair_ok[None, :]
-    both_act = cs.active[:, None] & cs.active[None, :]
-    earlier = jnp.arange(cs.capacity)[None, :] < jnp.arange(cs.capacity)[:, None]
-    drop_cc = jnp.any(
-        same_pair & both_ok & both_act & earlier & (d2 < eps2), axis=1
-    )
+    K = cs.capacity
+    W = collision.MAX_CONTACTS_PER_PAIR
+    if K >= 32 * W:
+        # Windowed form: each candidate pair contributes at most
+        # MAX_CONTACTS_PER_PAIR candidate lanes, and the stable
+        # compaction keeps them CONTIGUOUS — so a same-pair earlier
+        # lane is always within W-1 lanes.  O(K*W) instead of O(K^2):
+        # at pile capacities (K = 8192) the full pairwise form was a
+        # 67M-lane broadcast per scene per step.
+        drop_cc = jnp.zeros((K,), bool)
+        for s in range(1, W):
+            same = (lo_b[s:] == lo_b[:-s]) & (hi_b[s:] == hi_b[:-s])
+            ok = body_pair_ok[s:] & body_pair_ok[:-s]
+            both = cs.active[s:] & cs.active[:-s]
+            d2s = jnp.sum(
+                (cs.position[s:] - cs.position[:-s]) ** 2, axis=-1
+            )
+            hit = same & ok & both & (d2s < eps2)
+            drop_cc = drop_cc.at[s:].set(drop_cc[s:] | hit)
+    else:
+        d2 = jnp.sum(
+            (cs.position[:, None, :] - cs.position[None, :, :]) ** 2,
+            axis=-1,
+        )
+        same_pair = (lo_b[:, None] == lo_b[None, :]) & (
+            hi_b[:, None] == hi_b[None, :]
+        )
+        both_ok = body_pair_ok[:, None] & body_pair_ok[None, :]
+        both_act = cs.active[:, None] & cs.active[None, :]
+        earlier = (
+            jnp.arange(K)[None, :] < jnp.arange(K)[:, None]
+        )
+        drop_cc = jnp.any(
+            same_pair & both_ok & both_act & earlier & (d2 < eps2), axis=1
+        )
 
     # Joint-contact: a joint between the same body pair, close => drop the
     # contact (ref :291-300).

@@ -293,25 +293,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces,
     )
 
     if Jn > 0:
-        # joint anchor points per scene: a0 on body 0, a1 on body 1
-        # (world anchor joint_c1 when b1 = -1)
-        def anchors(state):
-            R = quat.quat_to_mat(state.q)
-            a0 = state.p[spec.joint_b0] + jnp.einsum(
-                "jik,jk->ji", R[spec.joint_b0], spec.joint_c0
-            )
-            anchored = spec.joint_b1 < 0
-            jb1 = jnp.where(anchored, 0, spec.joint_b1)
-            a1 = jnp.where(
-                anchored[:, None],
-                spec.joint_c1,
-                state.p[jb1] + jnp.einsum(
-                    "jik,jk->ji", R[jb1], spec.joint_c1
-                ),
-            )
-            return a0, a1
-
-        a0, a1 = jax.vmap(anchors)(states)
+        a0, a1 = jax.vmap(lambda st: _joint_anchors(spec, st))(states)
         jb0 = jnp.broadcast_to(spec.joint_b0, (B, Jn)).astype(jnp.int32)
         jb1 = jnp.broadcast_to(spec.joint_b1, (B, Jn)).astype(jnp.int32)
         zhat = jnp.broadcast_to(
@@ -357,6 +339,7 @@ def _fused_step_packed(spec, states, cfg, css, ext_forces,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
         interpret=interpret, eq_packed=packed["eq"],
         block=bool(cfg.jacobi_block), diag_packed=diag_packed,
+        pyramid_mu=_pyramid_mu(cfg),
     )
     pn, qn, vn, wn = integrate_step(
         None, None, b0, b1, states.p, states.q, states.v,
@@ -380,20 +363,47 @@ def _unpack_lam(lam_packed, B, m):
     return flat[:B, :m]
 
 
+def _pyramid_mu(cfg) -> float:
+    """Static Coulomb-pyramid coefficient for the packed LCP kernel
+    (0.0 = box friction; the reference declares COULOMB_PYRAMID but
+    leaves it unimplemented, eggshell/contact.cc:150-152)."""
+    from eggshell_tpu.utils.config import FrictionModel
+
+    return (
+        float(cfg.friction_mu)
+        if cfg.friction_model == FrictionModel.COULOMB_PYRAMID else 0.0
+    )
+
+
+def _joint_anchors(spec, state):
+    """World anchor points of the ball joints: a0 on body 0, a1 on body
+    1 (the fixed world anchor joint_c1 when b1 = -1).  (Jn, 3) each."""
+    R = quat.quat_to_mat(state.q)
+    a0 = state.p[spec.joint_b0] + jnp.einsum(
+        "jik,jk->ji", R[spec.joint_b0], spec.joint_c0
+    )
+    anchored = spec.joint_b1 < 0
+    jb1 = jnp.where(anchored, 0, spec.joint_b1)
+    a1 = jnp.where(
+        anchored[:, None],
+        spec.joint_c1,
+        state.p[jb1] + jnp.einsum("jik,jk->ji", R[jb1], spec.joint_c1),
+    )
+    return a0, a1
+
+
 def _all_kernel_eligible(spec, states, cfg) -> bool:
-    """The fully kernel-chained step covers contact-only scenes (no
-    joints: the joint-contact dedupe rule needs anchors) at TILE-aligned
-    batch sizes, with the kernel narrowphase enabled."""
+    """The fully kernel-chained step covers TILE-aligned batch sizes
+    with the kernel narrowphase enabled.  Jointed scenes ride it too:
+    joint lanes are prepended to the compact kernel's contact lanes in
+    the packed layout, with the joint-contact dedupe applied packed
+    (see `_fused_step_all_kernel`)."""
     from eggshell_tpu.ops.compact_kernel import TILE
 
     use_kernel = cfg.contact_kernel
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    return (
-        use_kernel
-        and spec.num_joints == 0
-        and states.p.shape[0] % TILE == 0
-    )
+    return use_kernel and states.p.shape[0] % TILE == 0
 
 
 def _fused_step_all_kernel(spec, states, cfg, ext_forces,
@@ -529,10 +539,72 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces,
         depth_cap=cap, interpret=interpret,
     )
     eqt = jnp.zeros_like(actt)
+    pos1t = post
+    Jn = spec.num_joints
+    Kx = K
+    if Jn > 0:
+        # Joints ride the same packed pipeline as always-active equality
+        # lanes PREPENDED to the contact lanes (matching the XLA twin's
+        # row order, ref joints.cc:13-35).  Anchor math is O(B*Jn) XLA;
+        # everything stays in the scene-on-lanes layout.
+        a0, a1 = jax.vmap(lambda st: _joint_anchors(spec, st))(states)
+        jb0 = jnp.broadcast_to(
+            spec.joint_b0.astype(dtype), (B, Jn)
+        )
+        jb1 = jnp.broadcast_to(spec.joint_b1.astype(dtype), (B, Jn))
+        jb0t, _, _, _ = _pack(jb0, Jn)                 # (nt, Jn, 8, 128)
+        jb1t, _, _, _ = _pack(jb1, Jn)
+        ja0t, _, _, _ = _pack(a0.astype(dtype), 3 * Jn)
+        ja1t, _, _, _ = _pack(a1.astype(dtype), 3 * Jn)
+        anchored = spec.joint_b1 < 0
+        jpos = jnp.where(anchored[None, :, None], a0, 0.5 * (a0 + a1))
+        jpt, _, _, _ = _pack(jpos.astype(dtype), 3 * Jn)
+
+        # Joint-contact dedupe in the packed layout (ref
+        # ensembles.cc:291-300 via contacts._dedupe drop_jc): a contact
+        # between the same body pair closer than eps to the joint point
+        # is dropped (active cleared, ids kept — XLA convention).
+        lo_c = jnp.minimum(b0t, b1t)                   # (nt, K, 8, 128)
+        hi_c = jnp.maximum(b0t, b1t)
+        pair_ok = lo_c >= 0
+        jlo = jnp.minimum(jb0t, jb1t)                  # (nt, Jn, 8, 128)
+        jhi = jnp.maximum(jb0t, jb1t)
+        j_ok = jlo >= 0
+        eps2 = float(cfg.min_constraint_distance**2)
+        cx, cy, cz = post[:, 0::3], post[:, 1::3], post[:, 2::3]
+        jx, jy, jz = jpt[:, 0::3], jpt[:, 1::3], jpt[:, 2::3]
+        d2 = (
+            (cx[:, :, None] - jx[:, None, :]) ** 2
+            + (cy[:, :, None] - jy[:, None, :]) ** 2
+            + (cz[:, :, None] - jz[:, None, :]) ** 2
+        )                                              # (nt, K, Jn, 8, 128)
+        same = (
+            (lo_c[:, :, None] == jlo[:, None, :])
+            & (hi_c[:, :, None] == jhi[:, None, :])
+            & j_ok[:, None, :]
+            & pair_ok[:, :, None]
+        )
+        drop = jnp.any(same & (d2 < eps2), axis=2).astype(dtype)
+        actt = actt * (1.0 - drop)
+
+        zhat = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], dtype), (B, Jn, 3)
+        )
+        jnrm, _, _, _ = _pack(zhat, 3 * Jn)
+        ones_j = jnp.ones_like(jb0t)
+        b0t = jnp.concatenate([jb0t, b0t], axis=1)
+        b1t = jnp.concatenate([jb1t, b1t], axis=1)
+        pos1t = jnp.concatenate([ja1t, post], axis=1)
+        post = jnp.concatenate([ja0t, post], axis=1)
+        nrmt = jnp.concatenate([jnrm, nrmt], axis=1)
+        dept = jnp.concatenate([jnp.zeros_like(jb0t), dept], axis=1)
+        actt = jnp.concatenate([ones_j, actt], axis=1)
+        eqt = jnp.concatenate([ones_j, eqt], axis=1)
+        Kx = Jn + K
 
     packed = contact_jacobian_blocks_from_packed(
-        b0t, b1t, post, post, nrmt, dept, actt, eqt, pt, uhat_p,
-        K=K, n=n, nt=nt, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
+        b0t, b1t, post, pos1t, nrmt, dept, actt, eqt, pt, uhat_p,
+        K=Kx, n=n, nt=nt, erp_dt2=float(cfg.erp / cfg.dt / cfg.dt),
         interpret=interpret,
     )
 
@@ -540,15 +612,16 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces,
     invm_packed, _, _, _ = _pack(invm, n)
     A_packed, diag_packed = contact_system_matrix_packed(
         packed["jc"], packed["b0"], packed["b1"], packed["act"],
-        invm_packed, invig_p, K=K, n=n,
+        invm_packed, invig_p, K=Kx, n=n,
         cfm=float(cfg.cfm_always), interpret=interpret,
     )
     lam_packed = solve_lcp_jacobi_packed(
-        A_packed, packed["rhs"], packed["act"], K=K,
+        A_packed, packed["rhs"], packed["act"], K=Kx,
         mu=float(cfg.friction_bound), iters=cfg.solver_iters,
         omega=float(cfg.jacobi_omega), beta=float(cfg.jacobi_beta),
         interpret=interpret, eq_packed=packed["eq"],
         block=bool(cfg.jacobi_block), diag_packed=diag_packed,
+        pyramid_mu=_pyramid_mu(cfg),
     )
     pn, qn, vn, wn = integrate_step(
         None, None, None, None, states.p, states.q, states.v,
@@ -556,11 +629,11 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces,
         jc_packed=packed["jc"], lam_packed=lam_packed,
         invig_packed=invig_p, f_packed=f_p,
         inv_mass=spec.inv_mass.astype(dtype),
-        b0_packed=b0t, b1_packed=b1t, K=K,
+        b0_packed=b0t, b1_packed=b1t, K=Kx,
     )
     out = State(p=pn, v=vn, q=qn, w=wn)
     if return_lam:
-        return out, _unpack_lam(lam_packed, B, 3 * K)
+        return out, _unpack_lam(lam_packed, B, 3 * Kx)
     return out
 
 
@@ -600,9 +673,22 @@ def _step_xla_twin(spec, states, cfg, ext_forces, lam_saved=None):
     sys, A, rhs, u, Minv, F = jax.vmap(pre, in_axes=in_axes)(
         states, css, ext_forces
     )
+    from eggshell_tpu.utils.config import FrictionModel as _FM2
+
+    pyramid = cfg.friction_model == _FM2.COULOMB_PYRAMID
     if lam_saved is not None:
+        lo_t, hi_t = sys.lo, sys.hi
+        if pyramid:
+            # effective bounds at the saved solution (+-mu lambda_n),
+            # so the IFT active-set classification sees the same caps
+            # the coupled sweeps enforced
+            lo_t, hi_t = jax.vmap(
+                lambda x, l, h, c: lcp._bounds(
+                    x, l, h, c, float(cfg.friction_mu)
+                )
+            )(lam_saved, sys.lo, sys.hi, sys.couple)
         lam = jax.vmap(lcp.adopt_lcp_solution)(
-            A, rhs, sys.is_eq, sys.lo, sys.hi, lam_saved
+            A, rhs, sys.is_eq, lo_t, hi_t, lam_saved
         )
     else:
         lam = jax.vmap(
@@ -680,7 +766,7 @@ def step_ode_batched(
 
     use_fused_pre = (
         cfg.solver == SolverKind.JACOBI_KERNEL
-        and cfg.friction_model == _FM.BOX
+        and cfg.friction_model in (_FM.BOX, _FM.COULOMB_PYRAMID)
         and not cfg.conditional_cfm
     )
     if use_fused_pre:

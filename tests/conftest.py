@@ -35,6 +35,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_worker_memory():
+    """Clear jax's in-memory executable/trace caches after every test
+    module: a long-lived xdist worker otherwise accumulates hundreds of
+    compiled programs and eventually collides with a compile peak on
+    the other worker (the round-4 worker crash).  Recompiles hit the
+    persistent on-disk cache, so the wall-clock cost is deserialization
+    only."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     """Deterministic NumPy RNG — ref toolkit/testing.cc:44 (RandomSeed(0))."""

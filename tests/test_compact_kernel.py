@@ -149,18 +149,26 @@ def test_compact_kernel_matches_xla_contacts():
 
 
 @pytest.mark.parametrize(
-    "scene_name", ["box_stack", "living_room_bp", "box_drop"]
+    "scene_name",
+    ["box_stack", "living_room_bp", "box_drop", "pendulum_chain"],
 )
 def test_all_kernel_step_matches_xla_step(scene_name):
     """The fully kernel-chained step equals the vmapped XLA step (same
     solver parameters) — including through the broadphase-gated pair
-    subset and the ground-only (num_pairs == 0) kernel variant."""
+    subset, the ground-only (num_pairs == 0) kernel variant, and
+    JOINTED scenes (ball-joint equality lanes prepended to the compact
+    kernel's contact lanes + the packed joint-contact dedupe,
+    ref joints.cc:13-35, ensembles.cc:291-300)."""
     if scene_name == "box_stack":
         spec, st = scenes.box_stack(4, dtype=jnp.float32)
         cfg = _cfg(contact_kernel=True)
     elif scene_name == "box_drop":
         spec, st = scenes.box_drop(height=0.1495, dtype=jnp.float32)
         cfg = _cfg(contact_kernel=True, contact_capacity=8)
+    elif scene_name == "pendulum_chain":
+        spec, st = scenes.pendulum_chain(3, dtype=jnp.float32)
+        cfg = _cfg(contact_kernel=True, contact_capacity=4,
+                   solver_iters=8)
     else:
         spec, st = scenes.living_room(dtype=jnp.float32)
         # sizes trimmed: the interpret-mode XLA compile of the full

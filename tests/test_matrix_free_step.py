@@ -159,6 +159,7 @@ def test_pile64_matrix_free_tracks_dense_50_steps():
     )
 
 
+@pytest.mark.xdist_group("heavy")
 def test_box_pile216_settles():
     """216-body pile over 400 steps (0.4 s) on the matrix-free path:
     the lattice must COLLAPSE AND SETTLE — no box ejected upward, no

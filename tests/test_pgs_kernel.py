@@ -426,3 +426,54 @@ def test_packed_stream_mode_matches_resident_kernel():
     np.testing.assert_allclose(
         np.asarray(lam_stream), np.asarray(lam_resident), rtol=0, atol=1e-6
     )
+
+
+def test_pyramid_friction_fused_matches_xla():
+    """COULOMB_PYRAMID on the fused kernel path: the packed kernel's
+    in-sweep +-mu*lambda_n tangent caps reproduce the XLA coupled-bounds
+    path (ops/lcp._bounds) through a full batched step — the friction
+    model the reference declares but never implements
+    (eggshell/contact.cc:150-152) now runs the zero-glue pipeline."""
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.physics.stepper import step_ode_batched
+    from eggshell_tpu.utils.config import (
+        FrictionModel, SimConfig, SolverKind,
+    )
+
+    spec, st = scenes.box_stack(2, jitter=0.0, seed=0)
+    # sliding, slightly penetrating stack: lateral velocity makes the
+    # tangential impulses saturate their caps, so pyramid
+    # (+-mu lambda_n) and BOX (+-1) bounds produce measurably different
+    # dynamics; the small downward offset guarantees active contacts
+    st = st._replace(
+        v=st.v + jnp.asarray([1.5, 0.0, 0.0]),
+        p=st.p - jnp.asarray([0.0, 0.0, 5e-4]),
+    )
+    Bp = 2
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (Bp,) + x.shape), st
+    )
+    base = dict(
+        friction_model=FrictionModel.COULOMB_PYRAMID, friction_mu=0.2,
+        conditional_cfm=False, cfm_always=0.01, solver_iters=20,
+        jacobi_omega=0.3, jacobi_beta=0.45, contact_capacity=16,
+        contact_kernel=False,
+    )
+    kcfg = SimConfig(solver=SolverKind.JACOBI_KERNEL, **base)
+    xcfg = SimConfig(solver=SolverKind.JACOBI, **base)
+
+    out_k = step_ode_batched(spec, states, kcfg)
+    out_x = step_ode_batched(spec, states, xcfg)
+    for f in ("p", "v", "q", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_k, f)), np.asarray(getattr(out_x, f)),
+            atol=2e-5, rtol=1e-6, err_msg=f,
+        )
+    # pyramid actually binds: tangent impulses differ from the BOX model
+    out_box = step_ode_batched(
+        spec, states,
+        SimConfig(solver=SolverKind.JACOBI, **{
+            **base, "friction_model": FrictionModel.BOX,
+        }),
+    )
+    assert float(jnp.abs(out_box.v - out_x.v).max()) > 1e-6

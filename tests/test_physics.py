@@ -94,6 +94,7 @@ def test_chain_trajectory_matches_oracle(cfg):
     np.testing.assert_allclose(np.asarray(st.q), osc.q, atol=1e-9)
 
 
+@pytest.mark.xdist_group("heavy")
 def test_chain_joint_error_stays_small():
     spec, state = scenes.chain(10)
     final, _ = par.rollout(spec, state, CFG_DIRECT, 300)
