@@ -227,45 +227,59 @@ def bench_configs(dtype=jnp.float32, B=4096, H=50, on_config=None):
         from eggshell_tpu.physics.stepper import step_ode_batched
 
         spec, st = scenes.box_stack(4, dtype=dtype)
-        Bg, Hg = 256, 20
-        states = _broadcast(st, Bg, dtype)
         kcfg = base
         xcfg = base.replace(solver=SolverKind.JACOBI)
 
-        def make_loss(cfg):
-            def loss(ext):
-                def body(s, _):
-                    return step_ode_batched(spec, s, cfg, ext), None
-                out, _ = jax.lax.scan(body, states, None, length=Hg)
-                return jnp.sum(out.p[:, -1, 2]) + jnp.sum(ext**2)
-            return jax.jit(jax.value_and_grad(loss))
+        def shape_entry(Bg, Hg):
+            states = _broadcast(st, Bg, dtype)
+            ext = jnp.zeros((Bg, spec.num_bodies, 6), dtype)
 
-        ext = jnp.zeros((Bg, spec.num_bodies, 6), dtype)
-        res = {}
-        for name, cfg_i in (("kernel_ift", kcfg), ("xla_unrolled", xcfg)):
-            def arm(cfg_arm=cfg_i):
-                f = make_loss(cfg_arm)
-                v, g = f(ext)
-                jax.block_until_ready(g)
-                t0 = time.perf_counter()
-                for _ in range(3):
+            def make_loss(cfg):
+                def loss(e):
+                    def body(s, _):
+                        return step_ode_batched(spec, s, cfg, e), None
+                    out, _ = jax.lax.scan(body, states, None, length=Hg)
+                    return jnp.sum(out.p[:, -1, 2]) + jnp.sum(e**2)
+                return jax.jit(jax.value_and_grad(loss))
+
+            res = {}
+            for name, cfg_i in (("kernel_ift", kcfg),
+                                ("xla_unrolled", xcfg)):
+                def arm(cfg_arm=cfg_i):
+                    f = make_loss(cfg_arm)
                     v, g = f(ext)
-                jax.block_until_ready(g)
-                return {
-                    "grad_steps_per_s":
-                        3 * Bg * Hg / (time.perf_counter() - t0)
-                }
-            try:
-                res[name] = _retry(arm)
-            except Exception as e:
-                res[name] = {"error": repr(e)[:300]}
-        if "error" not in res["kernel_ift"] and \
-                "error" not in res["xla_unrolled"]:
-            res["speedup"] = (
-                res["kernel_ift"]["grad_steps_per_s"]
-                / res["xla_unrolled"]["grad_steps_per_s"]
-            )
-        return res
+                    jax.block_until_ready(g)
+                    t0 = time.perf_counter()
+                    for _ in range(3):
+                        v, g = f(ext)
+                    jax.block_until_ready(g)
+                    return {
+                        "grad_steps_per_s":
+                            3 * Bg * Hg / (time.perf_counter() - t0)
+                    }
+                try:
+                    res[name] = _retry(arm)
+                except Exception as e:
+                    res[name] = {"error": repr(e)[:300]}
+            if "error" not in res["kernel_ift"] and \
+                    "error" not in res["xla_unrolled"]:
+                res["speedup"] = (
+                    res["kernel_ift"]["grad_steps_per_s"]
+                    / res["xla_unrolled"]["grad_steps_per_s"]
+                )
+            return res
+
+        # Two shapes: the small research shape, where unrolled reverse
+        # is ~5% faster, and the PRODUCTION rollout shape (the bench's
+        # own B=4096 x H=50), where unrolled reverse fails to compile
+        # (the 16-sweep x 50-step reverse program exhausts the
+        # compiler) and the kernel-IFT custom VJP is the only
+        # gradient path — the measured crossover the IFT architecture
+        # exists for.
+        return {
+            "small_B256_H20": shape_entry(256, 20),
+            "production_B4096_H50": shape_entry(4096, 50),
+        }
 
     run("gradient_mpc", grad_config)
 

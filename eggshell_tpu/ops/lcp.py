@@ -324,7 +324,20 @@ def ift_adjoint(A, b, is_eq, lo, hi, x, g, eps=1e-8):
     n = x.shape[0]
     eye = jnp.eye(n, dtype=A.dtype)
     M = jnp.where(free[:, None] & free[None, :], A, eye)
-    u = jnp.linalg.solve(M.T, jnp.where(free, g, 0.0))
+    if jax.default_backend() == "tpu":
+        # A is symmetric PSD + cfm on the free block (J Minv J^T), so
+        # the masked system is symmetric PD: one Cholesky factor+solve
+        # instead of pivoted LU — partial pivoting is a sequential
+        # scalar loop on TPU and dominated the gradient-MPC backward
+        # pass.  (CPU keeps LU: the f64 oracle tests run cfm ~ 1e-9
+        # redundant systems where pivoting is the safer factorization.)
+        Ms = 0.5 * (M + M.T)
+        L = jnp.linalg.cholesky(Ms)
+        u = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.where(free, g, 0.0)
+        )
+    else:
+        u = jnp.linalg.solve(M.T, jnp.where(free, g, 0.0))
     u = jnp.where(free, u, 0.0)
 
     gb = u

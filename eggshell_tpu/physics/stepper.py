@@ -653,7 +653,13 @@ def _step_xla_twin(spec, states, cfg, ext_forces, lam_saved=None):
     IFT adjoint (ops.lcp.adopt_lcp_solution)."""
     from eggshell_tpu.physics.contacts import make_contacts_batched
 
-    css = make_contacts_batched(spec, states, cfg, use_kernel=False)
+    # default (None) narrowphase: the Pallas kernel on TPU with its
+    # differentiable custom VJP (ops/collision_kernel
+    # .collide_boxes_lanes_diff) — the twin's forward recompute inside
+    # the fused step's backward pass was paying the slow XLA
+    # narrowphase for no gradient benefit (kernel-vs-XLA narrowphase
+    # gradients are pinned equal by tests/test_diff_kernel.py).
+    css = make_contacts_batched(spec, states, cfg)
     in_axes = (0, 0, 0 if ext_forces is not None else None)
 
     def pre(state, cs_one, ext):
