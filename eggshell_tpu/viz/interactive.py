@@ -8,6 +8,14 @@ Keyboard bindings (the reference's single-key scheme):
   r      reset to the initial state
   q      close
 
+Camera + picking (ref toolkit/camera.h, viewer.h, color_based_
+selection.h — see viz/camera.py):
+  arrows toggle orbit (yaw/pitch)  (ref rotate drag)
+  +/-    zoom in/out               (ref wheel zoom)
+  scroll zoom                      (ref wheel zoom)
+  click  pick the body under the cursor; the selection is
+         highlighted and named in the title (ref color-ID picking)
+
 Works with any interactive matplotlib backend; under a headless Agg
 backend the event loop degrades to programmatic `step_once()` /
 `render_frame()` calls (which is also how the smoke test drives it) and
@@ -25,6 +33,7 @@ import jax
 from eggshell_tpu.physics.scene import SceneSpec, State
 from eggshell_tpu.physics.stepper import step_ode
 from eggshell_tpu.utils.config import SimConfig
+from eggshell_tpu.viz.camera import Camera, pick_body
 from eggshell_tpu.viz.scene_view import _box_faces
 
 
@@ -41,8 +50,8 @@ class InteractiveViewer:
         self.steps_per_frame = steps_per_frame
         self.running = False
         self.sim_steps = 0
-        self._elev = elev
-        self._azim = azim
+        self.camera = Camera(elev=elev, azim=azim)
+        self.selected = -1          # picked body index, -1 = none
         self._fig = None
         self._ax = None
 
@@ -92,18 +101,75 @@ class InteractiveViewer:
             col = Poly3DCollection(faces, alpha=0.8, linewidths=0.5,
                                    edgecolors="k")
             static = float(self.spec.inv_mass[i]) == 0.0
-            col.set_facecolor("#b0b0b0" if static else "#4c8ed9")
+            if i == self.selected:
+                col.set_facecolor("#e0813c")    # picked highlight
+            else:
+                col.set_facecolor("#b0b0b0" if static else "#4c8ed9")
             ax.add_collection3d(col)
-        ax.set_xlim(-lim, lim)
-        ax.set_ylim(-lim, lim)
+        cam = self.camera
+        ax.set_xlim(cam.target[0] - lim, cam.target[0] + lim)
+        ax.set_ylim(cam.target[1] - lim, cam.target[1] + lim)
         ax.set_zlim(0, 2 * lim)
-        ax.view_init(elev=self._elev, azim=self._azim)
+        ax.view_init(elev=cam.elev, azim=cam.azim)
+        sel = f"  sel=body{self.selected}" if self.selected >= 0 else ""
         ax.set_title(
             f"t = {self.sim_steps * self.cfg.dt:.3f} s  "
-            f"[{'running' if self.running else 'paused'}]  "
-            "space=run/pause  s=step  r=reset  q=quit"
+            f"[{'running' if self.running else 'paused'}]{sel}  "
+            "space=run/pause  s=step  r=reset  q=quit  "
+            "arrows=orbit  +/-=zoom  click=pick"
         )
         return ax
+
+    # ---- camera + picking (ref toolkit/camera.h, viewer.h) ----
+    def _sync_camera_from_axes(self) -> None:
+        """Adopt any orbit the user did with matplotlib's built-in drag
+        so our camera (the picking source of truth) follows the view."""
+        if self._ax is not None:
+            self.camera.elev = float(self._ax.elev)
+            self.camera.azim = float(self._ax.azim)
+
+    def pick(self, x: float, y: float, width: int = None,
+             height: int = None) -> int:
+        """Pick the body under pixel (x, y) (lower-left origin) and
+        select it; returns the body index or -1 (ref color_based_
+        selection.h:18-24).  width/height default to the canvas size."""
+        self._sync_camera_from_axes()
+        if width is None or height is None:
+            if self._fig is not None:
+                width, height = map(int, self._fig.canvas.get_width_height())
+            else:
+                width, height = 640, 480
+        p = np.asarray(self.state.p)
+        R = np.asarray(self.state.R())
+        h = np.asarray(self.spec.half_extents)
+        cam = self._pick_camera(p, h)
+        self.selected = pick_body(cam, x, y, width, height, p, R, h)
+        return self.selected
+
+    def _pick_camera(self, p, h) -> Camera:
+        """matplotlib Axes3D is near-orthographic; build a throwaway
+        ortho camera whose view window matches the axis box that
+        render_frame established (x/y centered on target, z in
+        [0, 2*lim] so the vertical center is z=lim)."""
+        lim = max(1.0, float(np.abs(p).max()) + float(h.max()))
+        return Camera(
+            target=np.array([self.camera.target[0],
+                             self.camera.target[1], lim]),
+            distance=lim / np.tan(np.deg2rad(self.camera.fov_deg) / 2.0),
+            azim=self.camera.azim, elev=self.camera.elev,
+            fov_deg=self.camera.fov_deg, ortho=True,
+        )
+
+    def body_pixel(self, i: int, width: int = 640,
+                   height: int = 480) -> np.ndarray:
+        """Pixel coordinates (lower-left origin) of body i's center in
+        the current view — the gl_utils project analog, and the inverse
+        of pick() for test/annotation use."""
+        self._sync_camera_from_axes()
+        p = np.asarray(self.state.p)
+        h = np.asarray(self.spec.half_extents)
+        cam = self._pick_camera(p, h)
+        return cam.project(p[i], width, height)[0]
 
     # ---- event loop ----
     def _on_key(self, event) -> None:
@@ -118,6 +184,27 @@ class InteractiveViewer:
         elif event.key == "q":
             plt.close(self._fig)
             return
+        elif event.key in ("left", "right", "up", "down"):
+            self._sync_camera_from_axes()
+            d = {"left": (-5, 0), "right": (5, 0),
+                 "up": (0, 5), "down": (0, -5)}[event.key]
+            self.camera.orbit(*d)
+        elif event.key in ("+", "="):
+            self.camera.zoom(1 / 1.2)
+        elif event.key == "-":
+            self.camera.zoom(1.2)
+        self.render_frame()
+        self._fig.canvas.draw_idle()
+
+    def _on_scroll(self, event) -> None:
+        self.camera.zoom(1 / 1.2 if event.button == "up" else 1.2)
+        self.render_frame()
+        self._fig.canvas.draw_idle()
+
+    def _on_click(self, event) -> None:
+        if event.inaxes is not self._ax or event.x is None:
+            return
+        self.pick(event.x, event.y)
         self.render_frame()
         self._fig.canvas.draw_idle()
 
@@ -133,6 +220,8 @@ class InteractiveViewer:
             )
         self.render_frame()
         self._fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self._fig.canvas.mpl_connect("scroll_event", self._on_scroll)
+        self._fig.canvas.mpl_connect("button_press_event", self._on_click)
         timer = self._fig.canvas.new_timer(interval=frame_ms)
 
         def tick():
