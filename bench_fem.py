@@ -254,16 +254,19 @@ def fem_sweep():
 
 def fem_modes():
     """Eigenmodes: host ARPACK shift-invert (the reference's solver,
-    toolkit/eigensolvers.h:66-150) vs the on-device CG-preconditioned
-    generalized LOBPCG (real f32 — runs on the TPU).
+    toolkit/eigensolvers.h:66-150) vs the ON-DEVICE shift-invert
+    subspace iteration (BCR banded factorization as the inner solve,
+    fem/sparse.shift_invert_modes — the round-5 replacement after the
+    measured LOBPCG failure on clustered modes 5/6: rel err 1.3-3.4 at
+    6 modes regardless of backend/precision; see docs/architecture.md).
 
-    gated_by: tests/test_fem.py::test_modes_lobpcg_matches_arpack."""
+    gated_by: tests/test_fem_sparse.py::test_shift_invert_modes_*."""
     from eggshell_tpu.fem.helmholtz import solve_modes
     from eggshell_tpu.fem.mesher import mesh_shape
     from eggshell_tpu.fem.shape import Rectangle
 
     cd = Rectangle(0.0, 0.0, 2.0, 1.0)
-    mesh = mesh_shape(cd, 0.012)          # ~20k nodes
+    mesh = mesh_shape(cd, 0.012)          # ~16k nodes
     out = {"num_points": mesh.num_points}
     t0 = time.perf_counter()
     vals_a, _ = solve_modes(mesh, num_modes=6)
@@ -271,13 +274,16 @@ def fem_modes():
     out["arpack_host"] = {"ms": round(dt_a * 1e3, 1),
                           "eigs": [round(float(v), 4) for v in vals_a]}
     t0 = time.perf_counter()
-    vals_l, _ = solve_modes(mesh, num_modes=6, use_lobpcg=True)
+    vals_l, _ = solve_modes(mesh, num_modes=6, method="shift_invert")
     dt_l = time.perf_counter() - t0
+    t0 = time.perf_counter()            # warm: compiles + RCM plan cached
+    vals_w, _ = solve_modes(mesh, num_modes=6, method="shift_invert")
+    dt_w = time.perf_counter() - t0
     rel = float(np.max(np.abs(
         (np.asarray(vals_l) - np.asarray(vals_a)) / np.asarray(vals_a))))
-    out["lobpcg_device"] = {
-        "ms": round(dt_l * 1e3, 1), "backend": jax.default_backend(),
-        "max_rel_eig_err": rel,
+    out["shift_invert_device"] = {
+        "cold_ms": round(dt_l * 1e3, 1), "warm_ms": round(dt_w * 1e3, 1),
+        "backend": jax.default_backend(), "max_rel_eig_err": rel,
     }
     assert rel < 1e-2, "mode parity gate"
     return out

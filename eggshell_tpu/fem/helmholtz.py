@@ -936,13 +936,24 @@ def solve_modes(
     dirichlet: bool = True,
     potential: Optional[np.ndarray] = None,
     use_lobpcg: bool = False,
+    method: Optional[str] = None,
 ):
     """Generalized eigenproblem K psi = lambda M psi (cavity cutoffs /
-    Schrodinger levels).  Default path is SciPy ARPACK shift-invert on a
-    SPARSE assembly — the same solver+storage the reference drives
-    (toolkit/eigensolvers.h:66-150, SimplicialLDLT inner solves);
-    `use_lobpcg` switches to jax's on-device LOBPCG (dense transform,
-    small meshes).  Returns (eigenvalues (m,), eigenvectors (N, m))."""
+    Schrodinger levels).  `method` selects the solver:
+
+    - None / "arpack" (default): SciPy ARPACK shift-invert on a SPARSE
+      assembly — the same solver+storage the reference drives
+      (toolkit/eigensolvers.h:66-150, SimplicialLDLT inner solves).
+    - "shift_invert": ON-DEVICE shift-invert subspace iteration — the
+      ARPACK analog with the BCR banded direct solve as the inner
+      factorization (fem/sparse.shift_invert_modes); robust for
+      clustered higher modes.
+    - "lobpcg": on-device sparse generalized LOBPCG with a
+      CG-polynomial preconditioner (fem/sparse.lobpcg_generalized) —
+      factorization-free O(nnz) memory, best for a few extremal modes
+      on very large meshes.  (use_lobpcg=True is the back-compat alias.)
+
+    Returns (eigenvalues (m,), eigenvectors (N, m))."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -969,21 +980,24 @@ def solve_modes(
         idx = np.arange(N)
         Kr, Mr = Ks, Ms
 
-    if use_lobpcg:
-        # Fully sparse on-device path: generalized block LOBPCG on the
-        # reduced COO triplets — O(nnz) memory, no densification (r2's
-        # dense-transform variant would OOM at exactly the sizes where
-        # an on-device path matters).  See sparselib.lobpcg_generalized.
+    if use_lobpcg and method is None:
+        method = "lobpcg"
+    if method in ("lobpcg", "shift_invert"):
+        # Fully sparse on-device paths on the reduced COO triplets —
+        # O(nnz) memory, no densification (r2's dense-transform variant
+        # would OOM at exactly the sizes where an on-device path
+        # matters).  See sparselib.{lobpcg_generalized,
+        # shift_invert_modes}.
         Krc = Kr.tocoo()
         Mrc = Mr.tocoo()
         # merge the two sparsity patterns so K and M share (rows, cols)
-        import scipy.sparse as _sp
-
         pat = (abs(Krc) + abs(Mrc)).tocoo()
         rr, cc = pat.row, pat.col
         kv2 = np.asarray(Kr.tocsr()[rr, cc]).ravel()
         mv2 = np.asarray(Mr.tocsr()[rr, cc]).ravel()
-        vals_j, vecs_j = sparselib.lobpcg_generalized(
+        solver = (sparselib.lobpcg_generalized if method == "lobpcg"
+                  else sparselib.shift_invert_modes)
+        vals_j, vecs_j = solver(
             rr, cc, kv2, mv2, Kr.shape[0], num_modes, seed=0,
         )
         vals = np.asarray(vals_j)

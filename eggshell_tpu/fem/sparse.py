@@ -337,3 +337,106 @@ def lobpcg_generalized(rows, cols, kvals, mvals, num_rows: int,
     theta = jnp.sum(X * KX, axis=0) / jnp.sum(X * Mmm(X), axis=0)
     order = jnp.argsort(theta)
     return theta[order][:num_modes], X[:, order][:, :num_modes]
+
+
+def shift_invert_modes(rows, cols, kvals, mvals, num_rows: int,
+                       num_modes: int, iters: int = 20, seed: int = 0,
+                       sigma: float = None, guard: int = None):
+    """On-device shift-invert subspace iteration — the direct analog of
+    the reference eigensolver (toolkit/eigensolvers.h:66-150: ARPACK
+    dsaupd in shift-invert mode around a SimplicialLDLT factorization),
+    with the banded BCR direct solve (fem/block_tridiag) playing the
+    factorization's role.
+
+    Each sweep applies (K - sigma M)^-1 M to the block via one
+    multi-RHS BCR solve, M-orthonormalizes, and Rayleigh-Ritz-rotates
+    on K — geometric convergence at ratio lambda_i/lambda_{block+1}
+    per sweep, which is what makes it robust for CLUSTERED/DEGENERATE
+    higher modes where the polynomial-preconditioned LOBPCG
+    (`lobpcg_generalized`) stalls (measured round 5: rectangle modes
+    5/6 are near-degenerate; LOBPCG rel err ~1.3 at 6 modes on a 16k
+    distmesh, this path < 1e-3 in 20 sweeps).
+
+    Host-side static work: RCM bandwidth reduction (structure.auto).
+    Device work: bands scatter, BCR sweeps, COO matvecs, (k, k) eighs.
+    Returns (eigenvalues (num_modes,), eigenvectors (n, num_modes)).
+    """
+    from eggshell_tpu.fem import block_tridiag as bt
+
+    n = int(num_rows)
+    k = num_modes + (max(4, num_modes) if guard is None else guard)
+    k = min(k, max(n - 1, 1))
+    kvals = jnp.asarray(kvals)
+    mvals = jnp.asarray(mvals)
+    if sigma is None:
+        # auto NEGATIVE shift: factor A = K + s M with s well below the
+        # first nonzero eigenvalue (diag-ratio spectral scale).  Keeps
+        # the factorized operator SPD even when K is singular
+        # (dirichlet=False: the constant Neumann nullspace), exactly
+        # like the host path's sigma=1e-6 eigsh shift; eigenvectors are
+        # unchanged and theta is computed from the UNSHIFTED K below.
+        # the diag ratio tracks lambda_max (~1/h^2), NOT lambda_1 —
+        # round-5 measurement: s = 1e-3*scale (~8x lambda_6 at a 16k
+        # distmesh) compressed the wanted spectrum and stalled
+        # convergence at ~4% rel err; 1e-6*scale still dominates the
+        # Neumann null eigenvalue (0) for a nonsingular SPD factor
+        # while sitting far below lambda_1 (no slowdown).
+        diag = np.asarray(rows) == np.asarray(cols)
+        scale = float(np.max(np.abs(np.asarray(kvals)[diag]))) / max(
+            float(np.max(np.abs(np.asarray(mvals)[diag]))),
+            np.finfo(np.float64).tiny,
+        )
+        sigma = -1e-6 * scale
+    avals = kvals - sigma * mvals if sigma else kvals
+
+    structure = bt.BlockTridiagStructure.auto(rows, cols, n)
+    nb, b = structure.num_blocks, structure.block_size
+    npad = nb * b
+    bands = bt.bands_from_coo(avals, structure)
+    if npad > n:
+        pad_idx = jnp.arange(n, npad)
+        bl, rl = pad_idx // b, pad_idx % b
+        bands = bands.at[0, bl, rl, rl].add(1.0)
+
+    perm = structure.order          # node order[j] sits at position j
+    pos = structure.pos
+
+    def inv_apply(X):               # (n, k) -> (K - sigma M)^-1 X
+        Xp = jnp.zeros((npad, X.shape[1]), X.dtype)
+        Xp = Xp.at[:n].set(X[perm] if perm is not None else X)
+        Y = bt.block_tridiag_solve_bands(bands[0], bands[1], bands[2], Xp)
+        Y = Y[:n]
+        return Y[pos] if pos is not None else Y
+
+    Kmm = lambda X: coo_matmat(rows, cols, kvals, X, n)
+    Mmm = lambda X: coo_matmat(rows, cols, mvals, X, n)
+
+    def m_orthonormalize(S):
+        G = S.T @ Mmm(S)
+        G = 0.5 * (G + G.T)
+        w, V = jnp.linalg.eigh(G)
+        good = w > 1e-10 * jnp.max(jnp.abs(w))
+        scale = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, w, 1.0)),
+                          0.0)
+        return (S @ V) * scale[None, :]
+
+    X = jnp.asarray(
+        np.random.default_rng(seed).normal(size=(n, k))
+    ).astype(kvals.dtype)
+
+    with jax.default_matmul_precision("highest"):
+        X = m_orthonormalize(X)
+
+        def body(i, X):
+            Y = inv_apply(Mmm(X))
+            Y = m_orthonormalize(Y)
+            A = Y.T @ Kmm(Y)
+            A = 0.5 * (A + A.T)
+            _, V = jnp.linalg.eigh(A)
+            return Y @ V
+
+        X = jax.lax.fori_loop(0, iters, body, X)
+        KX = Kmm(X)
+        theta = jnp.sum(X * KX, axis=0) / jnp.sum(X * Mmm(X), axis=0)
+        order = jnp.argsort(theta)
+    return theta[order][:num_modes], X[:, order][:, :num_modes]

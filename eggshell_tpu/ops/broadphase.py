@@ -74,6 +74,111 @@ def select_pairs(
     )
 
 
+def sap_select_pairs(
+    p: jax.Array, q: jax.Array, half_extents: jax.Array,
+    capacity: int, window: int, margin: float = 0.0,
+    num_pairs: int = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sorted sweep-and-prune pair selection — the actual sorted-list
+    analog of the reference broadphase (toolkit/collision.h:22-45,
+    sorted AABB endpoints swept along one axis), shaped for TPU.
+
+    Bodies are argsorted by AABB min-x; a pair can only overlap in x if
+    their sorted ranks are within `window` of each other (window plays
+    the role of the reference's dynamic active list — it bounds how
+    many boxes can straddle any x coordinate).  Overlap is then tested
+    on the (n, window) candidate strip only: O(n log n + n*window)
+    work instead of the O(n^2) broadcast mask, which is what makes it
+    win above ~1k bodies (see docs/architecture.md round-5 measurement).
+
+    Returns (pi, pj, active) exactly like select_pairs, in the SAME
+    canonical pair order (lanes ranked by the all-pairs lexicographic
+    index), so downstream contact lanes and dedupe are bit-identical
+    to the mask path whenever window was large enough.
+    Assumes the canonical all-pairs i<j enumeration; num_pairs defaults
+    to n(n-1)/2.
+    """
+    lo, hi = box_aabbs(p, q, half_extents, margin)
+    n = lo.shape[0]
+    if num_pairs is None:
+        num_pairs = n * (n - 1) // 2
+    order = jnp.argsort(lo[:, 0])
+    lo_s = lo[order]
+    hi_s = hi[order]
+    k = jnp.arange(n, dtype=jnp.int32)[:, None]          # (n, 1)
+    d = jnp.arange(1, window + 1, dtype=jnp.int32)[None]  # (1, W)
+    jdx = jnp.minimum(k + d, n - 1)                       # (n, W)
+    valid = (k + d) < n
+    # x sweep: sorted by lo-x, so overlap in x iff lo_x[j] <= hi_x[k]
+    ov = lo_s[jdx, 0] <= hi_s[:, 0][:, None]
+    # remaining axes: full interval test
+    for ax in (1, 2):
+        ov &= (lo_s[jdx, ax] <= hi_s[:, ax][:, None]) & (
+            lo_s[:, ax][:, None] <= hi_s[jdx, ax]
+        )
+    ov &= valid
+    a = jnp.broadcast_to(order[:, None], (n, window))
+    b = order[jdx]
+    bi = jnp.minimum(a, b).reshape(-1)
+    bj = jnp.maximum(a, b).reshape(-1)
+    mask = ov.reshape(-1)
+    # canonical lexicographic pair rank (matches make_scene's default
+    # pair list) so lane order is identical to select_pairs
+    rank = bi * (2 * n - bi - 1) // 2 + (bj - bi - 1)
+    score = jnp.where(mask, num_pairs - rank, 0)
+    if capacity > score.shape[0]:       # capacity exceeds the strip
+        pad = capacity - score.shape[0]
+        score = jnp.pad(score, (0, pad))
+        bi = jnp.pad(bi, (0, pad))
+        bj = jnp.pad(bj, (0, pad))
+    v, sel = jax.lax.top_k(score, capacity)
+    active = v > 0
+    return (
+        jnp.where(active, bi[sel], 0),
+        jnp.where(active, bj[sel], 0),
+        active,
+    )
+
+
+def _canonical_pairs(spec) -> bool:
+    """True when spec's pair list is the all-pairs i<j enumeration (the
+    make_scene default) — the precondition for the SaP rank mapping."""
+    import numpy as np
+
+    n = spec.half_extents.shape[0]
+    P = spec.num_pairs
+    if P != n * (n - 1) // 2:
+        return False
+    pi = np.asarray(spec.pair_i)
+    pj = np.asarray(spec.pair_j)
+    ci, cj = np.triu_indices(n, k=1)
+    return bool(np.array_equal(pi, ci) and np.array_equal(pj, cj))
+
+
+def select_scene_pairs(spec, state, cfg):
+    """Per-scene broadphase: AABB-prune spec's candidate pairs and
+    compact them into cfg.pair_capacity lanes.  Dispatches on
+    cfg.broadphase_kind: "mask" = (n, n) broadcast overlap + top_k
+    (the TPU default — cheapest below ~1k bodies), "sap" = sorted
+    sweep-and-prune strip (wins at larger n; falls back to mask when
+    the spec's pair list is not the canonical all-pairs set)."""
+    try:
+        canonical = cfg.broadphase_kind == "sap" and _canonical_pairs(spec)
+    except jax.errors.TracerArrayConversionError:
+        canonical = False       # spec traced (not closed over): no
+        #                         host-side canonicity check possible
+    if canonical:
+        return sap_select_pairs(
+            state.p, state.q, spec.half_extents, cfg.pair_capacity,
+            cfg.sap_window, cfg.broadphase_margin, spec.num_pairs,
+        )
+    mask = pair_overlap_mask(
+        state.p, state.q, spec.half_extents,
+        spec.pair_i, spec.pair_j, cfg.broadphase_margin,
+    )
+    return select_pairs(mask, spec.pair_i, spec.pair_j, cfg.pair_capacity)
+
+
 def sweep_and_prune_pairs(lo: jax.Array, hi: jax.Array, capacity: int):
     """All-axis AABB pruning over ALL n^2/2 pairs, compacted to a fixed
     capacity — the dense-mask analog of the reference's sweep-and-prune

@@ -80,13 +80,7 @@ def _candidates(spec: SceneSpec, state: State, cfg: SimConfig,
     elif P > 0 and 0 < cfg.pair_capacity < P:
         from eggshell_tpu.ops import broadphase
 
-        mask = broadphase.pair_overlap_mask(
-            state.p, state.q, spec.half_extents,
-            spec.pair_i, spec.pair_j, cfg.broadphase_margin,
-        )
-        pi, pj, pair_gate = broadphase.select_pairs(
-            mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
-        )
+        pi, pj, pair_gate = broadphase.select_scene_pairs(spec, state, cfg)
         P = cfg.pair_capacity
     else:
         pi, pj = spec.pair_i, spec.pair_j
@@ -332,13 +326,7 @@ def make_contacts_batched(
         from eggshell_tpu.ops import broadphase
 
         def select(state_one):
-            mask = broadphase.pair_overlap_mask(
-                state_one.p, state_one.q, spec.half_extents,
-                spec.pair_i, spec.pair_j, cfg.broadphase_margin,
-            )
-            return broadphase.select_pairs(
-                mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
-            )
+            return broadphase.select_scene_pairs(spec, state_one, cfg)
         pi, pj, gate = jax.vmap(select)(states)        # (B, pc) each
         Pk = cfg.pair_capacity
         bidx = jnp.arange(B)[:, None]

@@ -473,13 +473,7 @@ def _fused_step_all_kernel(spec, states, cfg, ext_forces,
         from eggshell_tpu.ops import broadphase
 
         def select(state_one):
-            mask = broadphase.pair_overlap_mask(
-                state_one.p, state_one.q, spec.half_extents,
-                spec.pair_i, spec.pair_j, cfg.broadphase_margin,
-            )
-            return broadphase.select_pairs(
-                mask, spec.pair_i, spec.pair_j, cfg.pair_capacity
-            )
+            return broadphase.select_scene_pairs(spec, state_one, cfg)
 
         pi, pj, gate = jax.vmap(select)(states)        # (B, pc)
         Pk = cfg.pair_capacity

@@ -140,6 +140,16 @@ class SimConfig:
     # eggshell/ensembles.cc:460-474).
     pair_capacity: int = 0
     broadphase_margin: float = 0.0
+    # Broadphase algorithm: "mask" = (n, n) broadcast overlap + top_k
+    # compaction (TPU default; cheapest below ~1k bodies); "sap" =
+    # sorted sweep-and-prune strip (ops/broadphase.sap_select_pairs,
+    # the toolkit/collision.h:22-45 sorted-list analog; O(n*window)
+    # instead of O(n^2), wins at larger n).  sap_window bounds how many
+    # bodies may straddle one x coordinate (the sorted active list's
+    # max length); overlapping pairs further apart in x-rank are
+    # silently dropped, so size it like the other capacity knobs.
+    broadphase_kind: str = "mask"
+    sap_window: int = 64
     # Batched narrowphase dispatch: None = auto (the Pallas lane-major
     # kernel on TPU, the vmapped XLA path elsewhere); True/False force
     # one side.  The kernel path is differentiable everywhere (custom

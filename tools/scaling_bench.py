@@ -173,8 +173,132 @@ def main(per_device_batch: int = 256, horizon: int = 20,
             json.dump(record, f, indent=1)
 
 
+def control_profile(artifact: str = None, per_device_batch: int = 256,
+                    horizon: int = 20, repeats: int = 10):
+    """Round-5 investigation of the sharding-control outlier (r3
+    artifact: 0.745 / 1.206 / 0.681 across total batch 512/2048/8192).
+
+    The control divides throughput of the 8-virtual-device sharded
+    program by the 1-device unsharded program at EQUAL total batch on a
+    2-core host.  Two candidate explanations, each directly measured:
+
+    1. *Noise*: best-of-3 on a shared 2-vCPU box — measured here by
+       `repeats` interleaved timings of both programs with full spread.
+    2. *The denominator moves*: XLA-CPU intra-op parallelization
+       efficiency is shape-dependent, so the unsharded baseline's own
+       per-rollout cost varies with batch; the ratio then tracks the
+       BASELINE's efficiency curve, not the sharding machinery.
+       Measured here as unsharded per-rollout time across the batch
+       series (B and B/8) — if t(B)/8 != t(B/8) the single-program
+       baseline is not shape-neutral and the control ratio inherits
+       that non-monotonicity.
+    """
+    import platform
+
+    from eggshell_tpu.parallel import mesh as pmesh
+    from eggshell_tpu.physics import scenes
+    from eggshell_tpu.utils.config import SimConfig, SolverKind
+
+    cfg = SimConfig(
+        solver=SolverKind.JACOBI, solver_iters=30, jacobi_omega=0.3,
+        conditional_cfm=False, cfm_always=0.01, contact_capacity=20,
+    )
+    spec, state = scenes.box_stack(4, dtype=jnp.float32)
+    ndev = len(jax.devices())
+
+    def timed(nd, B):
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), state
+        )
+        m = pmesh.make_mesh(nd)
+        states = pmesh.shard_batch(m, states)
+        out = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
+        jax.block_until_ready(out)
+
+        def once():
+            t0 = time.perf_counter()
+            o = pmesh.sharded_rollout(spec, states, cfg, horizon, m)
+            jax.block_until_ready(o)
+            return time.perf_counter() - t0
+
+        return once
+
+    B_big = ndev * 4 * per_device_batch          # the outlier point
+    one_big = timed(1, B_big)
+    shd_big = timed(ndev, B_big)
+    t1, tN = [], []
+    for _ in range(repeats):                     # interleaved: drift-fair
+        t1.append(one_big())
+        tN.append(shd_big())
+    stats = lambda ts: {
+        "min_s": round(min(ts), 4), "max_s": round(max(ts), 4),
+        "mean_s": round(sum(ts) / len(ts), 4),
+        "spread": round(max(ts) / min(ts), 3),
+    }
+    ratio_best = min(t1) / min(tN)
+    ratios = sorted(a / b for a, b in zip(t1, tN))
+
+    # baseline shape-efficiency curve: unsharded per-rollout time
+    curve = []
+    for B in (per_device_batch, 2 * per_device_batch,
+              4 * per_device_batch, ndev * per_device_batch, B_big):
+        f = timed(1, B)
+        best = min(f() for _ in range(5))
+        curve.append({"batch": B, "best_s": round(best, 4),
+                      "us_per_rollout": round(best / B * 1e6, 2)})
+    us = [c["us_per_rollout"] for c in curve]
+    rec = {
+        "backend": jax.default_backend(),
+        "devices": ndev,
+        "cpu_count": os.cpu_count(),
+        "platform": platform.platform(),
+        "batch": B_big,
+        "repeats": repeats,
+        "unsharded": stats(t1),
+        "sharded": stats(tN),
+        "control_ratio_best": round(ratio_best, 3),
+        "control_ratio_median": round(ratios[len(ratios) // 2], 3),
+        "unsharded_shape_curve": curve,
+        "baseline_shape_efficiency_spread": round(max(us) / min(us), 3),
+    }
+    # r3 series range: 1.206 / 0.681 = 1.77x swing to explain
+    r3_swing = 1.206 / 0.681
+    noise = max(rec["unsharded"]["spread"], rec["sharded"]["spread"])
+    explainable = rec["baseline_shape_efficiency_spread"] * noise
+    if explainable >= r3_swing:
+        rec["conclusion"] = (
+            "EXPLAINED: the unsharded baseline's own per-rollout cost "
+            f"varies {rec['baseline_shape_efficiency_spread']}x across "
+            "the batch series (XLA-CPU intra-op parallelization is "
+            "shape-dependent on this 2-core host) and per-run noise is "
+            f"{noise}x; together ({round(explainable, 2)}x) they cover "
+            f"the r3 series' {round(r3_swing, 2)}x swing — the control "
+            "ratio tracks the DENOMINATOR's shape efficiency, not a "
+            "sharding-machinery cost.  On real multi-chip hardware the "
+            "machinery is the dryrun-validated collective set (see "
+            "MULTICHIP artifact); this control is a virtual-mesh proxy."
+        )
+    else:
+        rec["conclusion"] = (
+            "NOT fully explained by baseline shape-efficiency "
+            f"({rec['baseline_shape_efficiency_spread']}x) + noise "
+            f"({noise}x) < r3 swing {round(r3_swing, 2)}x — a real "
+            "sharded-program overhead remains at this batch; see the "
+            "sharded stats above."
+        )
+    print(json.dumps(rec, indent=1))
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump(rec, f, indent=1)
+    return rec
+
+
 if __name__ == "__main__":
     import sys
 
-    art = sys.argv[1] if len(sys.argv) > 1 else None
-    main(artifact=art)
+    if "--control-profile" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        control_profile(artifact=args[0] if args else None)
+    else:
+        art = sys.argv[1] if len(sys.argv) > 1 else None
+        main(artifact=art)
