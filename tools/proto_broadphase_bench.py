@@ -47,15 +47,29 @@ def main(out_path=None):
                             broadphase_kind=kind, sap_window=win,
                             contact_capacity=cap)
 
+            REPS = 20      # amortize the ~70 ms tunnel dispatch floor
+
             @jax.jit
             def select_all(sts, _cfg=cfg):
-                return jax.vmap(
-                    lambda s1: broadphase.select_scene_pairs(spec, s1, _cfg)
-                )(sts)
+                # scan REPS perturbed selects so XLA cannot CSE them;
+                # reported time is per-select
+                def body(c, i):
+                    sts_i = sts._replace(p=sts.p + 1e-6 * i)
+                    pi, pj, act = jax.vmap(
+                        lambda s1: broadphase.select_scene_pairs(
+                            spec, s1, _cfg)
+                    )(sts_i)
+                    return c + jnp.sum(act), None
+
+                tot, _ = jax.lax.scan(
+                    body, jnp.int32(0), jnp.arange(REPS, dtype=jnp.float32))
+                return tot
 
             dt = timeit(select_all, states)
-            row[kind + "_ms"] = round(dt * 1e3, 3)
-            pi, pj, act = select_all(states)
+            row[kind + "_ms"] = round(dt * 1e3 / REPS, 3)
+            pi, pj, act = jax.vmap(
+                lambda s1: broadphase.select_scene_pairs(spec, s1, cfg)
+            )(states)
             row[kind + "_active_pairs"] = int(jnp.sum(act[0]))
         row["sap_speedup"] = round(row["mask_ms"] / row["sap_ms"], 2)
         rows.append(row)
