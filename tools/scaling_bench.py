@@ -265,7 +265,23 @@ def control_profile(artifact: str = None, per_device_batch: int = 256,
     r3_swing = 1.206 / 0.681
     noise = max(rec["unsharded"]["spread"], rec["sharded"]["spread"])
     explainable = rec["baseline_shape_efficiency_spread"] * noise
-    if explainable >= r3_swing:
+    if rec["control_ratio_best"] >= 1.0:
+        rec["conclusion"] = (
+            "REFUTED as machinery cost: re-measured at the same batch, "
+            f"the SHARDED program is {rec['control_ratio_best']}x FASTER "
+            "than the unsharded baseline (median "
+            f"{rec['control_ratio_median']}), the opposite sign of the "
+            "r3 0.681 — with identical machinery.  Combined with the "
+            f"{noise}x per-run spread and the "
+            f"{rec['control_ratio_best'] / 0.681:.2f}x cross-session "
+            "swing, the control ratio on this oversubscribed 2-core "
+            "virtual mesh measures XLA-CPU scheduling luck, not "
+            "shard_map overhead; the r3 outlier was an artifact of the "
+            "same instability.  Real machinery validation lives in "
+            "dryrun_multichip (sharded == local MPPI to 6e-8) and the "
+            "MULTICHIP artifact."
+        )
+    elif explainable >= r3_swing:
         rec["conclusion"] = (
             "EXPLAINED: the unsharded baseline's own per-rollout cost "
             f"varies {rec['baseline_shape_efficiency_spread']}x across "
